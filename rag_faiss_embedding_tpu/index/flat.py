@@ -1,0 +1,172 @@
+"""Device-resident exact (flat) vector index.
+
+TPU-native replacement for ``faiss.IndexFlatL2`` (reference wraps it in
+``faiss_store.py:29-81`` and ``rag_datastore_manager.py:138,173,218``).
+Differences by design:
+
+- Vectors live in device HBM in a preallocated, capacity-doubling buffer with
+  an ``ntotal`` watermark, so streaming adds are an in-place
+  ``dynamic_update_slice`` (no host round trip, no reallocation per add —
+  BASELINE.md config #5).
+- Row squared-norms are precomputed at add time so every L2 query saves a
+  full pass over the database.
+- Both metrics from the reference's (unhonored) ``FAISS_INDEX_TYPE`` knob are
+  implemented: "L2" (squared L2, ascending) and "IP" (descending)
+  (``config.py:30``).
+- Search runs the fused chunked scan (ops/distance.py) or the Pallas kernel
+  (ops/pallas_scan.py) — never materializing the (Q, N) distance matrix.
+- Storage dtype is float32 (rank-order parity with FAISS fp32 exact scan) or
+  bfloat16 (2x HBM capacity / bandwidth; fp32 accumulation retained).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.logging import get_logger
+from ..ops import distance as dist_ops
+
+logger = get_logger(__name__)
+
+_ROW_ALIGN = 1024  # capacity is kept a multiple of this (MXU/VPU tiling)
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+class FlatIndex:
+    """Exact nearest-neighbor index over a device-resident buffer."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "L2",
+        dtype: str | jnp.dtype = "float32",
+        capacity: int = _ROW_ALIGN,
+        device: Optional[jax.Device] = None,
+        use_pallas: Optional[bool] = None,
+    ):
+        if metric not in ("L2", "IP"):
+            raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
+        self.dim = int(dim)
+        self.metric = metric
+        self.dtype = jnp.dtype(dtype)
+        self.device = device if device is not None else jax.devices()[0]
+        self.ntotal = 0
+        self._capacity = _round_up(int(capacity), _ROW_ALIGN)
+        self._use_pallas = use_pallas
+        self._buf = jax.device_put(
+            jnp.zeros((self._capacity, self.dim), self.dtype), self.device
+        )
+        self._sq = jax.device_put(
+            jnp.zeros((self._capacity,), jnp.float32), self.device
+        )
+
+    # ---------------------------------------------------------------- add
+    def _grow(self, needed: int) -> None:
+        new_cap = self._capacity
+        while new_cap < needed:
+            new_cap *= 2
+        if new_cap == self._capacity:
+            return
+        pad = new_cap - self._capacity
+        self._buf = jnp.pad(self._buf, ((0, pad), (0, 0)))
+        self._sq = jnp.pad(self._sq, (0, pad))
+        self._capacity = new_cap
+        logger.debug("grew flat index capacity to %d rows", new_cap)
+
+    def add(self, vectors: np.ndarray | jax.Array) -> None:
+        """Append vectors at the watermark (streaming add)."""
+        vecs = jnp.asarray(vectors)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        if vecs.shape[-1] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {vecs.shape[-1]}")
+        n_new = vecs.shape[0]
+        self._grow(self.ntotal + n_new)
+        vecs_dev = jax.device_put(vecs.astype(self.dtype), self.device)
+        sq_dev = dist_ops.sqnorms(vecs_dev)
+        self._buf = jax.lax.dynamic_update_slice(
+            self._buf, vecs_dev, (self.ntotal, 0)
+        )
+        self._sq = jax.lax.dynamic_update_slice(self._sq, sq_dev, (self.ntotal,))
+        self.ntotal += n_new
+
+    # ------------------------------------------------------------- search
+    def search(
+        self, queries: np.ndarray | jax.Array, k: int, chunk_size: int = 65536
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Exact top-k. Returns (values, indices) as device arrays, (Q, k).
+
+        L2 values are squared distances ascending; IP values descend.
+        Missing slots (k > ntotal) hold index -1 (FAISS convention,
+        ``faiss_store.py:70``).
+        """
+        q = jnp.asarray(queries)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.ntotal == 0:
+            nq = q.shape[0]
+            fill = jnp.inf if self.metric == "L2" else -jnp.inf
+            return (
+                jnp.full((nq, k), fill, jnp.float32),
+                jnp.full((nq, k), -1, jnp.int32),
+            )
+        q = jax.device_put(q.astype(self.dtype), self.device)
+        use_pallas = self._use_pallas
+        if use_pallas is None:
+            use_pallas = self.device.platform == "tpu"
+        if use_pallas:
+            try:
+                from ..ops import pallas_scan
+
+                return pallas_scan.flat_search(
+                    q, self._buf, k, metric=self.metric,
+                    db_sq=self._sq, n_valid=self.ntotal,
+                )
+            except Exception as e:  # pragma: no cover - fallback path
+                logger.debug("pallas path unavailable (%s); using lax scan", e)
+        return dist_ops.exact_search(
+            q, self._buf, k,
+            metric=self.metric, db_sq=self._sq,
+            n_valid=self.ntotal, chunk_size=chunk_size,
+        )
+
+    # ------------------------------------------------------------- manage
+    def reset(self) -> None:
+        """Drop all vectors (reference ``faiss_store.py:124-128``)."""
+        self.ntotal = 0
+        self._buf = jnp.zeros_like(self._buf)
+        self._sq = jnp.zeros_like(self._sq)
+
+    def vectors(self) -> np.ndarray:
+        """Host copy of the live rows (for serialization / re-training)."""
+        return np.asarray(self._buf[: self.ntotal])
+
+    # ---------------------------------------------------------------- io
+    def state_dict(self) -> dict:
+        return {
+            "kind": "flat",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(self.dtype),
+            "vectors": self.vectors(),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict, **kwargs) -> "FlatIndex":
+        idx = cls(
+            dim=int(state["dim"]),
+            metric=str(state["metric"]),
+            dtype=str(state["dtype"]),
+            **kwargs,
+        )
+        vecs = state["vectors"]
+        if len(vecs):
+            idx.add(vecs)
+        return idx
