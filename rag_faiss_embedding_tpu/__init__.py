@@ -27,4 +27,37 @@ Package layout:
   native/    C++ host-side components (fast WordPiece tokenizer)
 """
 
+import os as _os
+
+# Zero-egress-friendly: HF hub probes fail fast instead of burning ~30s in
+# connection timeouts. Remove/override these to pull from a live hub.
+_os.environ.setdefault("HF_HUB_OFFLINE", "1")
+_os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: fresh processes (CLI runs, API
+    server restarts) reuse compiled programs instead of paying the 20-40s
+    TPU compile per shape. Opt out with RFE_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("RFE_NO_COMPILE_CACHE"):
+        return
+    # The experimental 'axon' PJRT tunnel deadlocks inside the persistent
+    # cache (all threads futex-wait on first compile); only enable the cache
+    # on standard platforms.
+    if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/rfe_jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 __version__ = "0.1.0"

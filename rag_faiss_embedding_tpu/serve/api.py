@@ -1,0 +1,208 @@
+"""HTTP search API server with TPU-friendly micro-batching.
+
+The reference ships a launcher for ``uvicorn.run("query:app")``
+(``3-fastapi-uvicorn-server.sh:49-56``) but the FastAPI module itself is
+missing from the snapshot; the HTTP contract is reconstructed from the
+client and health script (SURVEY.md §2 row 11):
+
+    GET  /health                          (health.sh:3)
+    POST /search {"text": str, "top_k": int}
+         -> {"similar_documents": [{id,url,title,content,score,...}],
+             "generated_response": str}   (4-api-rag-search.py:91-107)
+
+Built on aiohttp (fastapi/uvicorn are not in this image). TPU-specific
+design: concurrent requests are coalesced by a background batcher into one
+encoder forward + one index scan (``QueryEngine.search_batch``) — queries
+wait at most ``batch_timeout_ms`` for co-riders, trading a bounded latency
+add for multiplicative QPS (BASELINE.md config #4 measures p50/p99). The
+reference path embeds and scans one query at a time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+from typing import List, Optional
+
+from ..core.config import Config
+from ..core.logging import get_logger
+from ..utils.timers import StageTimer
+
+logger = get_logger(__name__)
+
+
+class _PendingQuery:
+    __slots__ = ("text", "top_k", "future")
+
+    def __init__(self, text: str, top_k: int, future: asyncio.Future):
+        self.text = text
+        self.top_k = top_k
+        self.future = future
+
+
+class SearchService:
+    """Batching front of a QueryEngine; usable without HTTP for tests."""
+
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 64,
+        batch_timeout_ms: float = 2.0,
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.batch_timeout = batch_timeout_ms / 1e3
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.timer = StageTimer()
+        self._task: Optional[asyncio.Task] = None
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.create_task(self._batch_loop())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def search(self, text: str, top_k: int) -> List[dict]:
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self.queue.put(_PendingQuery(text, top_k, fut))
+        return await fut
+
+    async def _collect_batch(self) -> List[_PendingQuery]:
+        first = await self.queue.get()
+        batch = [first]
+        deadline = asyncio.get_running_loop().time() + self.batch_timeout
+        while len(batch) < self.max_batch:
+            remaining = deadline - asyncio.get_running_loop().time()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(
+                    await asyncio.wait_for(self.queue.get(), timeout=remaining)
+                )
+            except asyncio.TimeoutError:
+                break
+        return batch
+
+    async def _batch_loop(self) -> None:
+        while True:
+            batch = await self._collect_batch()
+            try:
+                texts = [p.text for p in batch]
+                k = max(p.top_k for p in batch)
+                with self.timer.stage(f"batch_search(n={len(batch)})"):
+                    # the sync TPU call runs in a worker thread so the event
+                    # loop keeps accepting (and coalescing) requests
+                    results = await asyncio.to_thread(
+                        self.engine.search_batch, texts, k
+                    )
+                for p, docs in zip(batch, results):
+                    if not p.future.done():
+                        p.future.set_result(docs[: p.top_k])
+            except Exception as e:
+                logger.exception("batch search failed")
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+
+
+def make_app(engine, config: Optional[Config] = None):
+    """Build the aiohttp application."""
+    from aiohttp import web
+
+    cfg = config or Config.from_env()
+    service = SearchService(
+        engine,
+        max_batch=cfg.serve_max_batch,
+        batch_timeout_ms=cfg.serve_batch_timeout_ms,
+    )
+
+    async def on_startup(app):
+        await service.start()
+
+    async def on_cleanup(app):
+        await service.stop()
+
+    async def health(request):
+        return web.json_response({
+            "status": "healthy",
+            "documents": engine.db.get_document_count(),
+            "vectors": engine.vector_store.ntotal,
+        })
+
+    async def search(request):
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"detail": "invalid JSON body"}, status=400)
+        text = body.get("text")
+        if not isinstance(text, str) or not text.strip():
+            return web.json_response(
+                {"detail": "'text' must be a non-empty string"}, status=422
+            )
+        top_k = body.get("top_k", cfg.top_k)
+        if not isinstance(top_k, int) or top_k <= 0:
+            return web.json_response(
+                {"detail": "'top_k' must be a positive integer"}, status=422
+            )
+        generate = bool(body.get("generate", True))
+        docs = await service.search(text, top_k)
+        response = {"similar_documents": docs}
+        if generate:
+            response["generated_response"] = await asyncio.to_thread(
+                engine.generate_response, text, docs
+            )
+        return web.json_response(response)
+
+    async def stats(request):
+        return web.json_response(service.timer.summary())
+
+    app = web.Application()
+    app.router.add_get("/health", health)
+    app.router.add_post("/search", search)
+    app.router.add_get("/stats", stats)
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    app["service"] = service
+    return app
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser(description="RAG search API server")
+    parser.add_argument("--base-dir", default=".")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    cfg = Config.from_env(base_dir=args.base_dir)
+    from ..models.generator import AnswerGenerator
+    from ..rag.engine import QueryEngine
+    from ..rag.manager import RAGManager
+
+    manager = RAGManager(config=cfg)
+    manager.load_indices()
+    engine = QueryEngine(
+        manager.db,
+        manager.vector_store,
+        manager.embedder,
+        generator=AnswerGenerator(model_name=cfg.generator_model),
+        context_token_budget=cfg.context_token_budget,
+    )
+    app = make_app(engine, cfg)
+    host = args.host or cfg.api_host
+    port = args.port or cfg.api_port
+    logger.info("starting API server on %s:%d", host, port)
+    web.run_app(app, host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()

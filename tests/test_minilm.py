@@ -1,0 +1,97 @@
+"""Encoder architecture tests, including exact parity with HF torch BERT.
+
+The parity test instantiates a random-init torch ``BertModel`` (offline —
+no weights downloaded), converts its state_dict with models/convert.py, and
+checks our flax forward matches torch's last_hidden_state CLS slice. This
+proves the architecture is the same network the reference runs
+(``vectorization.py:41-44``), independent of pretrained weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_faiss_embedding_tpu.models import MiniLMConfig, MiniLMEncoder
+from rag_faiss_embedding_tpu.models.convert import (
+    convert_bert_state_dict,
+    deterministic_params,
+)
+
+SMALL = MiniLMConfig(
+    vocab_size=100,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=64,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return deterministic_params(SMALL, seed=0)
+
+
+def test_forward_shape_and_determinism(params):
+    model = MiniLMEncoder(SMALL)
+    ids = jnp.array([[2, 5, 6, 7, 3, 0, 0, 0]], jnp.int32)
+    mask = jnp.array([[1, 1, 1, 1, 1, 0, 0, 0]], jnp.int32)
+    out1 = model.apply({"params": params}, ids, mask)
+    out2 = model.apply({"params": params}, ids, mask)
+    assert out1.shape == (1, 32)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_padding_invariance(params):
+    """Pooled output must not depend on padding length (mask correctness)."""
+    model = MiniLMEncoder(SMALL)
+    ids = jnp.array([[2, 5, 6, 3]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    short = model.apply({"params": params}, ids, mask)
+    ids_p = jnp.pad(ids, ((0, 0), (0, 12)))
+    mask_p = jnp.pad(mask, ((0, 0), (0, 12)))
+    long = model.apply({"params": params}, ids_p, mask_p)
+    np.testing.assert_allclose(np.asarray(short), np.asarray(long), atol=2e-5)
+    mean_s = model.apply({"params": params}, ids, mask, pooling="mean")
+    mean_l = model.apply({"params": params}, ids_p, mask_p, pooling="mean")
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_l), atol=2e-5)
+
+
+def test_cls_vs_mean_differ(params):
+    model = MiniLMEncoder(SMALL)
+    ids = jnp.array([[2, 5, 6, 3]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    cls = model.apply({"params": params}, ids, mask, pooling="cls")
+    mean = model.apply({"params": params}, ids, mask, pooling="mean")
+    assert not np.allclose(np.asarray(cls), np.asarray(mean))
+
+
+def test_parity_with_torch_bert():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.BertConfig(
+        vocab_size=SMALL.vocab_size,
+        hidden_size=SMALL.hidden_size,
+        num_hidden_layers=SMALL.num_layers,
+        num_attention_heads=SMALL.num_heads,
+        intermediate_size=SMALL.intermediate_size,
+        max_position_embeddings=SMALL.max_position_embeddings,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    bert = transformers.BertModel(hf_cfg, add_pooling_layer=False).eval()
+    params = convert_bert_state_dict(dict(bert.state_dict()), SMALL)
+
+    ids = np.array([[2, 9, 17, 42, 3, 0, 0, 0], [2, 7, 3, 0, 0, 0, 0, 0]], np.int64)
+    mask = np.array([[1, 1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 0, 0, 0, 0, 0]], np.int64)
+    with torch.no_grad():
+        ref = bert(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state[:, 0].numpy()
+
+    model = MiniLMEncoder(SMALL)
+    ours = model.apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-3)

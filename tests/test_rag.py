@@ -1,0 +1,134 @@
+import json
+
+import numpy as np
+import pytest
+
+from rag_faiss_embedding_tpu.core import Config
+from rag_faiss_embedding_tpu.index import VectorStore
+from rag_faiss_embedding_tpu.models import EmbeddingPipeline, MiniLMConfig
+from rag_faiss_embedding_tpu.models.generator import AnswerGenerator
+from rag_faiss_embedding_tpu.rag import QueryEngine, RAGManager
+from rag_faiss_embedding_tpu.store import Database
+
+SMALL = MiniLMConfig(
+    vocab_size=300, hidden_size=32, num_layers=2, num_heads=4,
+    intermediate_size=64, max_position_embeddings=64,
+)
+
+DOCS = [
+    {"id": 9, "url": "https://ex/jax", "title": "jax.html",
+     "content": "jax compiles numerical array programs for accelerators"},
+    {"id": 4, "url": "https://ex/tpu", "title": "tpu.html",
+     "content": "tpus multiply matrices with a systolic array unit"},
+    {"id": 1, "url": "https://ex/db", "title": "db.html",
+     "content": "sqlite stores documents in a single database file"},
+]
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    pipe = EmbeddingPipeline(model_name="offline-test", cfg=SMALL, max_seq_length=64)
+    pipe.fit_tokenizer([d["content"] for d in DOCS], vocab_size=300)
+    return pipe
+
+
+@pytest.fixture
+def engine(tmp_path, embedder):
+    db = Database(tmp_path / "docs.db")
+    ids = db.insert_documents(DOCS)
+    store = VectorStore(dimension=32, index_path=tmp_path / "idx")
+    store.index._use_pallas = False
+    emb = embedder.generate_embeddings([d["content"] for d in DOCS])
+    store.add_vectors(emb, ids)
+    gen = AnswerGenerator(backend="extractive")
+    return QueryEngine(db, store, embedder, generator=gen)
+
+
+def test_search_returns_scored_docs(engine):
+    results = engine.search(DOCS[0]["content"], top_k=2)
+    assert len(results) == 2
+    assert results[0]["id"] == 9  # self-retrieval
+    assert results[0]["score"] > results[1]["score"]
+    assert 0 < results[0]["score"] <= 1.0
+    assert "distance" in results[0]
+
+
+def test_search_batch_matches_single(engine):
+    queries = [DOCS[0]["content"], DOCS[2]["content"]]
+    batched = engine.search_batch(queries, top_k=2)
+    assert [r[0]["id"] for r in batched] == [9, 1]
+    single = engine.search(queries[0], top_k=2)
+    assert [d["id"] for d in batched[0]] == [d["id"] for d in single]
+
+
+def test_generate_response_extractive(engine):
+    docs = engine.search("how do tpus multiply matrices", top_k=3)
+    answer = engine.generate_response("how do tpus multiply matrices", docs)
+    assert isinstance(answer, str) and len(answer) > 0
+    assert "matrices" in answer or "systolic" in answer
+
+
+def test_generate_response_empty_docs(engine):
+    out = engine.generate_response("anything", [])
+    assert out == "No relevant documents found to answer your query."
+
+
+def test_truncate_content_respects_budget(engine):
+    long_text = "word " * 500
+    out = engine.truncate_content(long_text, 10)
+    assert len(out.split()) <= 12
+
+
+# ------------------------------------------------------------------ manager
+
+@pytest.fixture
+def manager(tmp_path, embedder):
+    cfg = Config(base_dir=tmp_path, vector_dimension=32)
+    (tmp_path / "data").mkdir(exist_ok=True)
+    (tmp_path / "data" / "documents.json").write_text(json.dumps(DOCS))
+    m = RAGManager(config=cfg, embedder=embedder)
+    m.vector_store.index._use_pallas = False
+    return m
+
+
+def test_initialize_and_search(manager):
+    n = manager.initialize_database()
+    assert n == 3
+    results = manager.search_similar_documents(DOCS[1]["content"], k=2)
+    assert results[0]["id"] == 4
+    assert results[0]["distance"] < results[1]["distance"]
+
+
+def test_load_indices_from_disk(manager, tmp_path, embedder):
+    manager.initialize_database()
+    cfg = manager.config
+    m2 = RAGManager(config=cfg, embedder=embedder)
+    m2.vector_store.index._use_pallas = False
+    m2.load_indices()
+    assert m2.vector_store.ntotal == 3
+    results = m2.search_similar_documents(DOCS[0]["content"], k=1)
+    assert results[0]["id"] == 9
+
+
+def test_streaming_add(manager):
+    manager.initialize_database()
+    new_doc = {"id": 50, "url": "https://ex/new", "title": "new.html",
+               "content": "flax builds neural network layers on jax"}
+    manager.add_documents([new_doc])
+    assert manager.vector_store.ntotal == 4
+    results = manager.search_similar_documents(new_doc["content"], k=1)
+    assert results[0]["id"] == 50
+
+
+def test_reset_removes_artifacts(manager):
+    manager.initialize_database()
+    manager.reset()
+    assert manager.vector_store.ntotal == 0
+    assert manager.db.get_document_count() == 0
+
+
+def test_generator_prompt_template():
+    gen = AnswerGenerator(backend="extractive")
+    prompt = gen.build_prompt("why?", "Document 1: because")
+    assert prompt.startswith("Based on the following documents")
+    assert prompt.endswith("Answer:")

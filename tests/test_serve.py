@@ -1,0 +1,119 @@
+"""HTTP API contract tests (reconstructed contract, SURVEY.md §2 row 11)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from rag_faiss_embedding_tpu.index import VectorStore
+from rag_faiss_embedding_tpu.models import EmbeddingPipeline, MiniLMConfig
+from rag_faiss_embedding_tpu.models.generator import AnswerGenerator
+from rag_faiss_embedding_tpu.rag import QueryEngine
+from rag_faiss_embedding_tpu.serve.api import make_app
+from rag_faiss_embedding_tpu.store import Database
+
+from .test_rag import DOCS, SMALL
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serve")
+    embedder = EmbeddingPipeline(model_name="offline-test", cfg=SMALL,
+                                 max_seq_length=64)
+    embedder.fit_tokenizer([d["content"] for d in DOCS], vocab_size=300)
+    db = Database(tmp_path / "docs.db")
+    ids = db.insert_documents(DOCS)
+    store = VectorStore(dimension=32, index_path=tmp_path / "idx")
+    store.index._use_pallas = False
+    store.add_vectors(embedder.generate_embeddings([d["content"] for d in DOCS]), ids)
+    return QueryEngine(db, store, embedder,
+                       generator=AnswerGenerator(backend="extractive"))
+
+
+def _client_call(engine, requests):
+    """Spin the app, run the given (method, path, body) requests, return responses."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        app = make_app(engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            out = []
+            for method, path, body in requests:
+                resp = await client.request(method, path, json=body)
+                out.append((resp.status, await resp.json()))
+            return out
+        finally:
+            await client.close()
+
+    return asyncio.run(run())
+
+
+def test_health(engine):
+    [(status, body)] = _client_call(engine, [("GET", "/health", None)])
+    assert status == 200
+    assert body["status"] == "healthy"
+    assert body["documents"] == 3 and body["vectors"] == 3
+
+
+def test_search_contract(engine):
+    [(status, body)] = _client_call(
+        engine, [("POST", "/search", {"text": DOCS[0]["content"], "top_k": 2})]
+    )
+    assert status == 200
+    docs = body["similar_documents"]
+    assert len(docs) == 2
+    assert docs[0]["id"] == 9
+    assert {"id", "url", "title", "content", "score", "distance"} <= set(docs[0])
+    assert isinstance(body["generated_response"], str)
+    assert body["generated_response"]
+
+
+def test_search_without_generation(engine):
+    [(status, body)] = _client_call(
+        engine,
+        [("POST", "/search", {"text": "jax", "top_k": 1, "generate": False})],
+    )
+    assert status == 200
+    assert "generated_response" not in body
+
+
+def test_search_validation_errors(engine):
+    results = _client_call(engine, [
+        ("POST", "/search", {"top_k": 3}),
+        ("POST", "/search", {"text": "", "top_k": 3}),
+        ("POST", "/search", {"text": "x", "top_k": 0}),
+        ("POST", "/search", {"text": "x", "top_k": "three"}),
+    ])
+    assert [s for s, _ in results] == [422, 422, 422, 422]
+
+
+def test_concurrent_requests_are_batched(engine):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async def run():
+        app = make_app(engine)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            async def one(i):
+                resp = await client.post(
+                    "/search",
+                    json={"text": DOCS[i % 3]["content"], "top_k": 1,
+                          "generate": False},
+                )
+                return (await resp.json())["similar_documents"][0]["id"]
+
+            ids = await asyncio.gather(*[one(i) for i in range(12)])
+            stats_resp = await client.get("/stats")
+            stats = await stats_resp.json()
+            return ids, stats
+        finally:
+            await client.close()
+
+    ids, stats = asyncio.run(run())
+    assert ids == [9, 4, 1] * 4
+    # at least one multi-query batch must have been coalesced
+    assert any("n=" in k and k != "batch_search(n=1)" for k in stats), stats
