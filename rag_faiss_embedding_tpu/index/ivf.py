@@ -1,0 +1,320 @@
+"""IVF-Flat index: k-means coarse quantizer + inverted-list scan.
+
+TPU-native analog of ``faiss.IndexIVFFlat`` (BASELINE.md config #3: nlist=4096
+build, nprobe sweep, recall parity at equal memory). The reference never gets
+past flat indexes; this is the tier for corpora past HBM-comfortable flat
+scan.
+
+TPU-first design decisions (SURVEY.md §7 "IVF irregularity on TPU"):
+- vectors are stored CLUSTER-SORTED in one contiguous device buffer (plus
+  parallel sqnorm/row-id arrays) — no per-list ragged structures;
+- a probe reads a fixed-size window of ``C`` slots (C = longest list, padded)
+  starting at the list offset, with a validity mask — variable-length lists
+  become fixed-shape gathers XLA can vectorize;
+- search = coarse exact top-nprobe over centroids (same fused scan as the
+  flat tier) -> windowed gather of probed lists -> masked distance + top-k,
+  all jitted with static (nprobe, C, k);
+- streaming adds land in a flat exactly-scanned pending tier (device
+  resident) that is merged by ``rebuild()`` — adds never degrade recall
+  (BASELINE.md config #5), unlike append-in-place schemes that skew lists.
+
+Returned indices are original insertion positions, so VectorStore's
+position->doc-id mapping works unchanged across flat and IVF tiers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.logging import get_logger
+from ..ops import distance as dist_ops
+from ..ops.kmeans import train_kmeans
+from .flat import FlatIndex, _round_up
+
+logger = get_logger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def _probe_scan(
+    q,            # (Q, D) f32
+    sorted_vecs,  # (Npad, D)
+    sorted_sq,    # (Npad,)
+    sorted_ids,   # (Npad,) int32, -1 for padding
+    offsets,      # (nlist,) int32
+    lengths,      # (nlist,) int32
+    probe_lists,  # (Q, P) int32
+    k: int,
+    window: int,  # C
+):
+    nq, d = q.shape
+    p = probe_lists.shape[1]
+    starts = offsets[probe_lists]                       # (Q, P)
+    lens = lengths[probe_lists]                         # (Q, P)
+    slot = jnp.arange(window, dtype=jnp.int32)          # (C,)
+    idx = starts[:, :, None] + slot[None, None, :]      # (Q, P, C)
+    valid = slot[None, None, :] < lens[:, :, None]
+    idx = jnp.where(valid, idx, 0)
+
+    vecs = sorted_vecs[idx]                             # (Q, P, C, D)
+    sq = sorted_sq[idx]                                 # (Q, P, C)
+    ids = jnp.where(valid, sorted_ids[idx], -1)
+
+    dots = jnp.einsum(
+        "qd,qpcd->qpc", q.astype(jnp.float32), vecs.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)  # (Q,)
+    dist = q_sq[:, None, None] - 2.0 * dots + sq
+    dist = jnp.where(valid, jnp.maximum(dist, 0.0), jnp.inf)
+
+    flat_dist = dist.reshape(nq, p * window)
+    flat_ids = ids.reshape(nq, p * window)
+    k_eff = min(k, p * window)
+    best, pos = jax.lax.top_k(-flat_dist, k_eff)
+    out_ids = jnp.take_along_axis(flat_ids, pos, axis=1)
+    out_dist = -best
+    out_ids = jnp.where(jnp.isinf(out_dist), -1, out_ids)
+    return out_dist, out_ids
+
+
+class IVFFlatIndex:
+    """Inverted-file flat index with exact within-list distances."""
+
+    def __init__(
+        self,
+        dim: int,
+        nlist: int = 1024,
+        metric: str = "L2",
+        nprobe: int = 8,
+        dtype: str | jnp.dtype = "float32",
+        device: Optional[jax.Device] = None,
+        train_iters: int = 20,
+        seed: int = 0,
+    ):
+        if metric != "L2":
+            # IP-IVF needs spherical k-means; deferred — flat tier covers IP.
+            raise ValueError("IVFFlatIndex currently supports metric='L2' only")
+        self.dim = int(dim)
+        self.nlist = int(nlist)
+        self.metric = metric
+        self.nprobe = int(nprobe)
+        self.dtype = jnp.dtype(dtype)
+        self.device = device if device is not None else jax.devices()[0]
+        self.train_iters = train_iters
+        self.seed = seed
+
+        self.is_trained = False
+        self.centroids: Optional[jax.Array] = None
+        self._sorted_vecs: Optional[jax.Array] = None
+        self._sorted_sq: Optional[jax.Array] = None
+        self._sorted_ids: Optional[jax.Array] = None
+        self._offsets: Optional[jax.Array] = None
+        self._lengths: Optional[jax.Array] = None
+        self._window = 0
+        self._n_built = 0
+        # exact pending tier for streaming adds
+        self._pending = FlatIndex(dim, metric=metric, dtype=dtype,
+                                  device=self.device)
+        self.rebuild_threshold = 0.25  # rebuild when pending > 25% of built
+
+    # ------------------------------------------------------------- building
+    @property
+    def ntotal(self) -> int:
+        return self._n_built + self._pending.ntotal
+
+    def train(self, vectors: np.ndarray | jax.Array) -> None:
+        vecs = jnp.asarray(vectors)
+        nlist = min(self.nlist, vecs.shape[0])
+        if nlist < self.nlist:
+            logger.warning("reducing nlist %d -> %d (few train vectors)",
+                           self.nlist, nlist)
+            self.nlist = nlist
+        self.centroids, _ = train_kmeans(
+            vecs, self.nlist, n_iters=self.train_iters, seed=self.seed
+        )
+        self.is_trained = True
+
+    def build(self, vectors: np.ndarray | jax.Array,
+              row_ids: Optional[np.ndarray] = None) -> None:
+        """Train (if needed) and populate the inverted lists."""
+        vecs = jnp.asarray(vectors, self.dtype)
+        n = vecs.shape[0]
+        if row_ids is None:
+            row_ids = np.arange(n, dtype=np.int32)
+        if not self.is_trained:
+            self.train(vecs)
+        _, assign_idx = dist_ops.exact_search(
+            vecs, self.centroids, 1, metric="L2",
+            chunk_size=min(65536, self.nlist),
+        )
+        assignments = np.asarray(assign_idx[:, 0])
+        order = np.argsort(assignments, kind="stable")
+        sorted_assign = assignments[order]
+        lengths = np.bincount(sorted_assign, minlength=self.nlist).astype(np.int32)
+        offsets = np.zeros(self.nlist, np.int32)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        window = int(_round_up(max(int(lengths.max()), 1), 128))
+
+        host_vecs = np.asarray(vecs)[order]
+        host_sq = (host_vecs.astype(np.float32) ** 2).sum(-1)
+        host_ids = np.asarray(row_ids, np.int32)[order]
+
+        # pad one window so every probe window stays in bounds
+        pad = window
+        self._sorted_vecs = jax.device_put(
+            jnp.asarray(np.pad(host_vecs, ((0, pad), (0, 0)))), self.device
+        )
+        self._sorted_sq = jax.device_put(
+            jnp.asarray(np.pad(host_sq, (0, pad))), self.device
+        )
+        self._sorted_ids = jax.device_put(
+            jnp.asarray(np.pad(host_ids, (0, pad), constant_values=-1)),
+            self.device,
+        )
+        self._offsets = jax.device_put(jnp.asarray(offsets), self.device)
+        self._lengths = jax.device_put(jnp.asarray(lengths), self.device)
+        self._window = window
+        self._n_built = n
+        self._pending.reset()
+        logger.info(
+            "built IVF: n=%d nlist=%d window=%d (mean list %.1f, max %d)",
+            n, self.nlist, window, lengths.mean(), lengths.max(),
+        )
+
+    def add(self, vectors: np.ndarray | jax.Array) -> None:
+        """Streaming add into the exact pending tier; auto-rebuild when the
+        pending tier outgrows ``rebuild_threshold`` of the built tier."""
+        vecs = jnp.asarray(vectors, self.dtype)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        if not self.is_trained:
+            # first add = build
+            self.build(vecs)
+            return
+        self._pending.add(vecs)
+        if self._pending.ntotal > self.rebuild_threshold * max(self._n_built, 1):
+            self.rebuild()
+
+    def rebuild(self) -> None:
+        """Merge pending tier into the inverted lists (keeps centroids)."""
+        if self._pending.ntotal == 0:
+            return
+        all_vecs = self.vectors()  # insertion order: built (by id) + pending
+        logger.info("rebuilding IVF with %d vectors", len(all_vecs))
+        self.build(all_vecs)
+
+    # -------------------------------------------------------------- search
+    def search(
+        self,
+        queries: np.ndarray | jax.Array,
+        k: int,
+        nprobe: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        nprobe = min(nprobe or self.nprobe, self.nlist)
+        q = jnp.asarray(queries, self.dtype)
+        if q.ndim == 1:
+            q = q[None, :]
+        nq = q.shape[0]
+        if self.ntotal == 0:
+            return (
+                jnp.full((nq, k), jnp.inf, jnp.float32),
+                jnp.full((nq, k), -1, jnp.int32),
+            )
+        if self._n_built == 0:
+            return self._pending.search(q, k)
+
+        _, probe_lists = dist_ops.exact_search(
+            q, self.centroids, nprobe, metric="L2",
+            chunk_size=min(65536, self.nlist),
+        )
+        dist, ids = _probe_scan(
+            q.astype(jnp.float32),
+            self._sorted_vecs, self._sorted_sq, self._sorted_ids,
+            self._offsets, self._lengths, probe_lists,
+            k=k, window=self._window,
+        )
+        if self._pending.ntotal:
+            pvals, pidx = self._pending.search(q, k)
+            pidx = jnp.where(pidx >= 0, pidx + self._n_built, -1)
+            merged_v, merged_i = dist_ops.merge_topk(
+                -dist, ids, -pvals, pidx, min(k, dist.shape[1] + pvals.shape[1])
+            )
+            dist, ids = -merged_v, merged_i
+        if dist.shape[1] < k:
+            pad = k - dist.shape[1]
+            dist = jnp.concatenate(
+                [dist, jnp.full((nq, pad), jnp.inf, dist.dtype)], axis=1
+            )
+            ids = jnp.concatenate(
+                [ids, jnp.full((nq, pad), -1, jnp.int32)], axis=1
+            )
+        return dist, ids
+
+    # ------------------------------------------------------------- manage
+    def reset(self) -> None:
+        self.is_trained = False
+        self.centroids = None
+        self._sorted_vecs = None
+        self._sorted_sq = None
+        self._sorted_ids = None
+        self._offsets = None
+        self._lengths = None
+        self._window = 0
+        self._n_built = 0
+        self._pending.reset()
+
+    def vectors(self) -> np.ndarray:
+        """Live vectors in original insertion order."""
+        parts = []
+        if self._n_built:
+            built = np.asarray(self._sorted_vecs[: self._n_built])
+            ids = np.asarray(self._sorted_ids[: self._n_built])
+            parts.append(built[np.argsort(ids)])
+        if self._pending.ntotal:
+            parts.append(self._pending.vectors())
+        if not parts:
+            return np.zeros((0, self.dim), np.float32)
+        return np.concatenate(parts)
+
+    # ---------------------------------------------------------------- io
+    def state_dict(self) -> dict:
+        return {
+            "kind": "ivf",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(self.dtype),
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "centroids": np.asarray(self.centroids)
+            if self.centroids is not None
+            else np.zeros((0, self.dim), np.float32),
+            "vectors": self.vectors(),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict, **kwargs) -> "IVFFlatIndex":
+        def item(v):
+            v = np.asarray(v)
+            return v.item() if v.ndim == 0 else v
+
+        idx = cls(
+            dim=int(item(state["dim"])),
+            nlist=int(item(state["nlist"])),
+            metric=str(item(state["metric"])),
+            nprobe=int(item(state["nprobe"])),
+            dtype=str(item(state["dtype"])),
+            **kwargs,
+        )
+        centroids = np.asarray(state["centroids"])
+        vectors = np.asarray(state["vectors"])
+        if centroids.size:
+            idx.centroids = jnp.asarray(centroids)
+            idx.is_trained = True
+        if len(vectors):
+            idx.build(vectors)
+        return idx

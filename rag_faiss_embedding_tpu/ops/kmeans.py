@@ -1,0 +1,133 @@
+"""Lloyd k-means in JAX (IVF coarse-quantizer training).
+
+TPU-native replacement for ``faiss.Kmeans``/IVF training (the reference only
+uses flat indexes, but BASELINE.md config #3 requires an IVF tier with
+nlist=4096 k-means). Design:
+
+- assignment step reuses the fused exact-search machinery (one MXU matmul
+  per chunk, k=1) — the same kernel that serves queries trains the index;
+- update step is a segment-sum via one-hot matmul over assignment chunks
+  (MXU-friendly; avoids scatter), accumulated in fp32;
+- empty clusters are re-seeded from the largest cluster's points with a
+  deterministic perturbation (FAISS does the same re-init trick);
+- k-means++-style init: random sample + spreading by re-sampling distant
+  points (cheaper than full k-means++ at nlist=4096 scale).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.logging import get_logger
+from . import distance as dist_ops
+
+logger = get_logger(__name__)
+
+
+def assign(
+    x: jax.Array, centroids: jax.Array, chunk_size: int = 65536
+) -> Tuple[jax.Array, jax.Array]:
+    """Nearest centroid per row: (assignments, distances)."""
+    vals, idx = dist_ops.exact_search(
+        x, centroids, 1, metric="L2", chunk_size=min(chunk_size, centroids.shape[0])
+    )
+    return idx[:, 0], vals[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("nlist",))
+def _update_step(x, assignments, nlist):
+    """One Lloyd update: new centroids + counts via one-hot matmul."""
+    onehot = jax.nn.one_hot(assignments, nlist, dtype=jnp.float32)  # (N, K)
+    sums = jnp.einsum("nk,nd->kd", onehot, x.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    counts = onehot.sum(axis=0)
+    centroids = sums / jnp.maximum(counts[:, None], 1.0)
+    return centroids, counts
+
+
+@functools.partial(jax.jit, static_argnames=("nlist",))
+def _kmeanspp_init(x: jax.Array, nlist: int, key: jax.Array) -> jax.Array:
+    """k-means++ seeding: each next centroid sampled with prob ∝ squared
+    distance to the nearest chosen centroid. One fused pass over x per
+    centroid — naive random seeding collapses nearby true clusters into one
+    (Lloyd can't split a merged pair), which directly costs IVF recall."""
+    n, d = x.shape
+    xf = x.astype(jnp.float32)
+    key, sub = jax.random.split(key)
+    first = xf[jax.random.randint(sub, (), 0, n)]
+    cents0 = jnp.zeros((nlist, d), jnp.float32).at[0].set(first)
+    d2_0 = jnp.sum((xf - first) ** 2, axis=1)
+
+    def body(i, carry):
+        cents, d2, key = carry
+        key, sub = jax.random.split(key)
+        logits = jnp.log(jnp.maximum(d2, 1e-30))
+        idx = jax.random.categorical(sub, logits)
+        c = xf[idx]
+        cents = cents.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((xf - c) ** 2, axis=1))
+        return cents, d2, key
+
+    cents, _, _ = jax.lax.fori_loop(1, nlist, body, (cents0, d2_0, key))
+    return cents
+
+
+def train_kmeans(
+    x: np.ndarray | jax.Array,
+    nlist: int,
+    n_iters: int = 20,
+    seed: int = 0,
+    tol: float = 1e-4,
+    verbose: bool = False,
+    init_sample: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd k-means with k-means++ init.
+
+    Returns (centroids (nlist, D) f32, assignments (N,)). k-means++ runs on a
+    subsample of up to ``init_sample * nlist`` points (FAISS's default
+    training-subsample policy) to bound the O(nlist * n * d) seeding cost.
+    """
+    x = jnp.asarray(x)
+    n, d = x.shape
+    if nlist > n:
+        raise ValueError(f"nlist={nlist} > n={n}")
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    max_init = init_sample * nlist
+    if n > max_init:
+        sample = x[jax.random.permutation(sub, n)[:max_init]]
+    else:
+        sample = x
+    centroids = _kmeanspp_init(sample, nlist, key)
+
+    prev_obj = jnp.inf
+    for it in range(n_iters):
+        assignments, dists = assign(x, centroids)
+        obj = float(dists.mean())
+        new_centroids, counts = _update_step(x, assignments, nlist)
+        # re-seed empty clusters from perturbed points of the biggest cluster
+        empty = counts == 0
+        n_empty = int(empty.sum())
+        if n_empty:
+            big = int(jnp.argmax(counts))
+            donor_rows = jnp.where(assignments == big, 1.0, 0.0)
+            donor = x[int(jnp.argmax(donor_rows))].astype(jnp.float32)
+            jitter = 1e-3 * jax.random.normal(
+                jax.random.fold_in(key, it), (nlist, x.shape[1])
+            )
+            new_centroids = jnp.where(
+                empty[:, None], donor[None, :] + jitter, new_centroids
+            )
+        centroids = new_centroids
+        if verbose:
+            logger.info("kmeans iter %d: obj=%.5f empty=%d", it, obj, n_empty)
+        if abs(prev_obj - obj) < tol * max(obj, 1e-12):
+            break
+        prev_obj = obj
+    assignments, _ = assign(x, centroids)
+    return centroids, assignments

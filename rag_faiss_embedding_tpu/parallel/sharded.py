@@ -1,0 +1,235 @@
+"""Multi-chip sharded exact scan with all-gather top-k merge.
+
+The reference has zero distributed code (SURVEY.md §2 "Parallelism
+inventory": no DP/TP/PP/EP, no comm backend). This module implements the
+TPU-native scale-out design from BASELINE.md config #4 (10M x 384-d flat
+scan sharded across a slice):
+
+- Database rows are sharded over the ``"db"`` mesh axis (each chip holds
+  N/n_dev rows + its precomputed sqnorms); queries are replicated over "db"
+  and optionally sharded over a ``"data"`` axis (query data-parallelism).
+- Under ``shard_map`` each device runs the same fused local scan used on one
+  chip (the lax-scan path of ops/distance.py), producing a LOCAL top-k.
+- A single ``all_gather`` over the k best (value, local-index) pairs rides
+  the ICI — k*n_dev candidates per query, thousands of times smaller than
+  the raw shards — followed by an on-device merge and global re-indexing.
+
+This mirrors FAISS's IndexShards CPU-thread merge, re-expressed as XLA
+collectives over a jax.sharding.Mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.logging import get_logger
+from ..ops import distance as dist_ops
+
+logger = get_logger(__name__)
+
+
+def _local_scan(q, db_shard, sq_shard, start, n_valid, k, metric, chunk_size):
+    """Per-device fused scan over the local shard; returns global indices."""
+    vals, idx = dist_ops._exact_search_impl(
+        q, db_shard, k,
+        metric=metric, db_sq=sq_shard,
+        n_valid=jnp.maximum(n_valid - start, 0).astype(jnp.int32),
+        chunk_size=chunk_size,
+    )
+    gidx = jnp.where(idx >= 0, idx + start, -1)
+    return vals, gidx
+
+
+def sharded_exact_search(
+    mesh: Mesh,
+    q: jax.Array,
+    db: jax.Array,
+    k: int,
+    *,
+    metric: str = "L2",
+    db_sq: Optional[jax.Array] = None,
+    n_valid: Optional[int] = None,
+    chunk_size: int = 65536,
+    db_axis: str = "db",
+    data_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a row-sharded database.
+
+    ``db`` has layout (n_dev * rows_per_dev, dim) and is (or will be) sharded
+    over ``db_axis``; ``q`` is replicated over ``db_axis`` (and sharded over
+    ``data_axis`` if given). Returns replicated (values, indices) with the
+    same contract as ops.distance.exact_search.
+    """
+    n = db.shape[0]
+    n_dev = mesh.shape[db_axis]
+    if n % n_dev:
+        raise ValueError(f"db rows {n} must divide mesh axis {db_axis}={n_dev}")
+    rows_per_dev = n // n_dev
+    k_eff = min(k, rows_per_dev)  # each shard contributes at most its rows
+    nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+    if db_sq is None:
+        db_sq = dist_ops.sqnorms(db)
+    chunk_size = min(chunk_size, rows_per_dev)
+
+    qspec = P(data_axis) if data_axis else P()
+    in_specs = (qspec, P(db_axis), P(db_axis), P())
+    out_specs = (qspec, qspec)
+
+    def kernel(q_l, db_l, sq_l, nv_l):
+        dev = jax.lax.axis_index(db_axis)
+        start = dev * rows_per_dev
+        vals, gidx = _local_scan(
+            q_l, db_l, sq_l, start, nv_l, k_eff, metric, chunk_size
+        )
+        # merge across the db axis: gather k candidates from every shard
+        all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, db_axis, axis=1, tiled=True)
+        scores = -all_vals if metric == "L2" else all_vals
+        scores = jnp.where(all_idx >= 0, scores, dist_ops.NEG_INF)
+        best, pos = jax.lax.top_k(scores, min(k, k_eff * n_dev))
+        merged_vals = jnp.take_along_axis(all_vals, pos, axis=1)
+        merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        merged_vals = jnp.where(
+            merged_idx >= 0, merged_vals,
+            jnp.inf if metric == "L2" else -jnp.inf,
+        )
+        return merged_vals, merged_idx
+
+    mapped = jax.shard_map(
+        kernel, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    vals, idx = jax.jit(mapped)(q, db, db_sq, nv)
+    k_got = vals.shape[1]
+    if k_got < k:
+        nq = q.shape[0]
+        fill = jnp.inf if metric == "L2" else -jnp.inf
+        vals = jnp.concatenate(
+            [vals, jnp.full((nq, k - k_got), fill, vals.dtype)], axis=1
+        )
+        idx = jnp.concatenate(
+            [idx, jnp.full((nq, k - k_got), -1, jnp.int32)], axis=1
+        )
+    return vals, idx
+
+
+class ShardedFlatIndex:
+    """Flat exact index with rows sharded across a device mesh.
+
+    Multi-chip counterpart of index.flat.FlatIndex: same add/search/reset
+    contract, but the vector buffer is laid out (and padded) so each device
+    of the ``db`` mesh axis owns a contiguous row range, and search merges
+    per-device top-k via all-gather (BASELINE.md config #4).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        metric: str = "L2",
+        dtype: str | jnp.dtype = "float32",
+        capacity: int = 8192,
+        db_axis: str = "db",
+    ):
+        if metric not in ("L2", "IP"):
+            raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
+        self.dim = int(dim)
+        self.mesh = mesh
+        self.metric = metric
+        self.dtype = jnp.dtype(dtype)
+        self.db_axis = db_axis
+        self.n_dev = mesh.shape[db_axis]
+        self.ntotal = 0
+        self._capacity = self._round_cap(capacity)
+        self._sharding = NamedSharding(mesh, P(db_axis))
+        self._replicated = NamedSharding(mesh, P())
+        self._buf = jax.device_put(
+            jnp.zeros((self._capacity, self.dim), self.dtype), self._sharding
+        )
+        self._sq = jax.device_put(
+            jnp.zeros((self._capacity,), jnp.float32), self._sharding
+        )
+
+    def _round_cap(self, cap: int) -> int:
+        per_dev = -(-cap // self.n_dev)
+        per_dev = max(1024, -(-per_dev // 1024) * 1024)
+        return per_dev * self.n_dev
+
+    def _grow(self, needed: int) -> None:
+        if needed <= self._capacity:
+            return
+        new_cap = self._capacity
+        while new_cap < needed:
+            new_cap *= 2
+        host = np.asarray(self._buf)
+        host_sq = np.asarray(self._sq)
+        buf = np.zeros((new_cap, self.dim), host.dtype)
+        sq = np.zeros((new_cap,), np.float32)
+        buf[: self._capacity] = host
+        sq[: self._capacity] = host_sq
+        self._capacity = new_cap
+        self._buf = jax.device_put(jnp.asarray(buf), self._sharding)
+        self._sq = jax.device_put(jnp.asarray(sq), self._sharding)
+        logger.debug("grew sharded index capacity to %d rows", new_cap)
+
+    def add(self, vectors) -> None:
+        vecs = jnp.asarray(vectors, self.dtype)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        n_new = vecs.shape[0]
+        self._grow(self.ntotal + n_new)
+        sq_new = dist_ops.sqnorms(vecs)
+        self._buf = jax.jit(
+            lambda b, v: jax.lax.dynamic_update_slice(b, v, (self.ntotal, 0)),
+            donate_argnums=(0,),
+            out_shardings=self._sharding,
+        )(self._buf, vecs)
+        self._sq = jax.jit(
+            lambda s, v: jax.lax.dynamic_update_slice(s, v, (self.ntotal,)),
+            donate_argnums=(0,),
+            out_shardings=self._sharding,
+        )(self._sq, sq_new)
+        self.ntotal += n_new
+
+    def search(self, queries, k: int, chunk_size: int = 65536):
+        q = jnp.asarray(queries, self.dtype)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.ntotal == 0:
+            nq = q.shape[0]
+            fill = jnp.inf if self.metric == "L2" else -jnp.inf
+            return (
+                jnp.full((nq, k), fill, jnp.float32),
+                jnp.full((nq, k), -1, jnp.int32),
+            )
+        q = jax.device_put(q, self._replicated)
+        return sharded_exact_search(
+            self.mesh, q, self._buf, k,
+            metric=self.metric, db_sq=self._sq, n_valid=self.ntotal,
+            chunk_size=chunk_size, db_axis=self.db_axis,
+        )
+
+    def reset(self) -> None:
+        self.ntotal = 0
+        self._buf = jax.device_put(
+            jnp.zeros_like(self._buf), self._sharding
+        )
+        self._sq = jax.device_put(jnp.zeros_like(self._sq), self._sharding)
+
+    def vectors(self) -> np.ndarray:
+        return np.asarray(self._buf[: self.ntotal])
+
+    def state_dict(self) -> dict:
+        return {
+            "kind": "flat",  # serialized form is identical to FlatIndex
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(self.dtype),
+            "vectors": self.vectors(),
+        }
