@@ -60,6 +60,8 @@ class EmbeddingPipeline:
         if tokenizer is None and vocab_path and Path(vocab_path).exists():
             tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path)
             logger.info("loaded tokenizer vocab from %s", vocab_path)
+        if tokenizer is not None:
+            tokenizer.enable_native()  # C++ fast path; silent no-op if absent
         self.tokenizer = tokenizer  # may still be None: call fit_tokenizer
         self.vocab_path = Path(vocab_path) if vocab_path else None
 
@@ -102,6 +104,7 @@ class EmbeddingPipeline:
         """Train the fallback WordPiece vocab on a corpus and persist it."""
         vocab_size = vocab_size or min(self.cfg.vocab_size, 30522)
         self.tokenizer = WordPieceTokenizer.train(corpus, vocab_size=vocab_size)
+        self.tokenizer.enable_native()
         if self.vocab_path:
             self.tokenizer.save(self.vocab_path)
             logger.info("saved trained vocab to %s", self.vocab_path)

@@ -139,10 +139,29 @@ class WordPieceTokenizer:
             start = end
         return ids
 
+    def enable_native(self) -> bool:
+        """Attach the C++ fast path (native/tokenizer.cpp). Safe no-op when
+        the toolchain is unavailable; non-ASCII texts transparently fall back
+        to this Python implementation, so results are identical either way."""
+        if self._native is not None:
+            return True
+        try:
+            from ..native import NativeWordPiece
+
+            self._native = NativeWordPiece(self.vocab, lowercase=self.lowercase)
+            return True
+        except Exception as e:  # pragma: no cover - toolchain-dependent
+            from ..core.logging import get_logger
+
+            get_logger(__name__).debug("native tokenizer unavailable: %s", e)
+            return False
+
     def encode(self, text: str, max_length: int = 512) -> List[int]:
         """Token ids with [CLS]/[SEP], truncated to max_length."""
         if self._native is not None:
-            return self._native.encode(text, max_length)
+            ids = self._native.encode(text, max_length)
+            if ids is not None:
+                return ids
         ids = [self.cls_id]
         for word in basic_tokenize(text, self.lowercase):
             ids.extend(self.wordpiece(word))

@@ -1,0 +1,98 @@
+"""Golden end-to-end tests on the reference's bundled corpus.
+
+SURVEY.md §4 test plan item (b): exercise the full pipeline on the exact
+23-document corpus the reference ships (``/root/reference/data`` +
+``/root/reference/html``). The reference tree is read at runtime (never
+copied); tests skip cleanly when it isn't mounted.
+"""
+
+import json
+import sqlite3
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference snapshot not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_documents():
+    return json.loads((REF / "data" / "documents.json").read_text())
+
+
+def test_reference_corpus_shape(ref_documents):
+    assert len(ref_documents) == 23
+    assert {"id", "url", "title", "content"} <= set(ref_documents[0])
+
+
+def test_html_ingestion_covers_reference_corpus(tmp_path):
+    """Our ingestor over the reference html/ tree must produce the same
+    document count and titles as the bundled documents.json."""
+    from rag_faiss_embedding_tpu.ingest import HtmlIngestor
+
+    ing = HtmlIngestor(output_dir=tmp_path, url_prefix="https://kevinluzbetak.com")
+    entries = ing.generate_index(root=REF / "html")
+    bundled = json.loads((REF / "data" / "documents.json").read_text())
+    assert len(entries) == len(bundled) == 23
+    assert {e["title"] for e in entries} == {d["title"] for d in bundled}
+    assert all(0 < len(e["content"]) <= 512 for e in entries)
+    assert all(e["url"].startswith("https://kevinluzbetak.com/") for e in entries)
+
+
+def test_end_to_end_on_reference_documents(tmp_path, ref_documents):
+    """documents.json -> SQLite -> embed -> index -> search -> doc fetch,
+    matching the monolith pipeline semantics (rag_datastore_manager.py)."""
+    from rag_faiss_embedding_tpu.core import Config
+    from rag_faiss_embedding_tpu.models import EmbeddingPipeline, MiniLMConfig
+    from rag_faiss_embedding_tpu.rag import RAGManager
+
+    small = MiniLMConfig(
+        vocab_size=2048, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position_embeddings=128,
+    )
+    cfg = Config(base_dir=tmp_path, vector_dimension=32)
+    cfg.setup_directories()
+    (tmp_path / "data" / "documents.json").write_text(json.dumps(ref_documents))
+    embedder = EmbeddingPipeline(model_name="offline-test", cfg=small,
+                                 max_seq_length=128)
+    embedder.fit_tokenizer([d["content"] for d in ref_documents], vocab_size=2048)
+    m = RAGManager(config=cfg, embedder=embedder)
+    m.vector_store.index._use_pallas = False
+    n = m.initialize_database()
+    assert n == 23
+    assert m.db.get_document_count() == 23
+    assert m.vector_store.ntotal == 23
+    # ids in the mapping must be the documents' own (shuffled) ids
+    assert sorted(m.vector_store.doc_ids) == sorted(d["id"] for d in ref_documents)
+
+    # self-retrieval: each document's content retrieves that document first
+    hits = 0
+    for doc in ref_documents[:8]:
+        results = m.search_similar_documents(doc["content"], k=3)
+        assert results, doc["title"]
+        if results[0]["id"] == doc["id"]:
+            hits += 1
+    assert hits >= 7  # near-perfect self-retrieval even with random weights
+
+    # SQLite artifact has the same shape as the reference db
+    con = sqlite3.connect(tmp_path / "data" / "documents.db")
+    cols = [r[1] for r in con.execute("PRAGMA table_info(documents)")]
+    assert cols == ["id", "url", "title", "content", "created_at", "updated_at"]
+
+
+def test_reference_db_parity(ref_documents):
+    """Sanity: the bundled SQLite db rows match documents.json (validates our
+    understanding of the reference artifacts, SURVEY.md §2 row 14)."""
+    db_path = REF / "data" / "documents.db"
+    if not db_path.exists():
+        pytest.skip("reference db missing")
+    con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    rows = con.execute("SELECT id, title FROM documents ORDER BY id").fetchall()
+    assert len(rows) == 23
+    by_id = {d["id"]: d["title"] for d in ref_documents}
+    assert {r[0]: r[1] for r in rows} == by_id
