@@ -1,0 +1,262 @@
+"""Benchmark suite covering the five BASELINE.json configs.
+
+Each config prints one JSON line; ``bench.py`` at the repo root remains the
+single headline metric the driver records. Run:
+
+    python -m benchmarks.suite --config 1        # bundled-corpus parity
+    python -m benchmarks.suite --config 2        # 100k flat-IP QPS
+    python -m benchmarks.suite --config 3        # 1M IVF recall/nprobe sweep
+    python -m benchmarks.suite --config 4        # sharded scan p50/p99
+    python -m benchmarks.suite --config 5        # end-to-end RAG throughput
+    python -m benchmarks.suite --all --small     # CPU-sized smoke of all
+
+``--small`` shrinks scales ~10-100x for CPU smoke runs; real numbers come
+from the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _bench(fn, *args, iters=8, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "mean_s": sum(times) / len(times),
+        "p50_s": times[len(times) // 2],
+        "p99_s": times[min(len(times) - 1, int(len(times) * 0.99))],
+    }
+
+
+def _recall(pred, truth):
+    pred, truth = np.asarray(pred), np.asarray(truth)
+    hits = sum(
+        len(set(p.tolist()) & set(t.tolist())) for p, t in zip(pred, truth)
+    )
+    return hits / truth.size
+
+
+def config1_bundled_corpus(small: bool) -> dict:
+    """Functional parity on the bundled 23-doc corpus (exact top-5)."""
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.index import FlatIndex
+    from rag_faiss_embedding_tpu.ops import distance as dist_ops
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((23, 384)).astype(np.float32)
+    q = db[4] + 0.01 * rng.standard_normal(384).astype(np.float32)
+    idx = FlatIndex(384)
+    idx.add(db)
+    vals, ids = idx.search(q, 5)
+    truth = np.argsort(((q - db) ** 2).sum(-1))[:5]
+    ok = (np.asarray(ids)[0] == truth).all()
+    return {
+        "metric": "bundled_corpus_exact_top5_rank_parity",
+        "value": 1.0 if ok else 0.0,
+        "unit": "exact_match",
+        "vs_baseline": 1.0 if ok else 0.0,
+    }
+
+
+def config2_flat_ip_qps(small: bool) -> dict:
+    """100k-chunk flat inner-product (cosine) top-10 batched QPS."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.index import FlatIndex
+
+    n = 10_000 if small else 100_000
+    qb = 256 if small else 1024
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((n, 384)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((qb, 384)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    idx = FlatIndex(384, metric="IP", dtype="bfloat16")
+    idx.add(db)
+    stats = _bench(lambda x: idx.search(x, 10), jnp.asarray(q, jnp.bfloat16))
+    qps = qb / stats["mean_s"]
+    return {
+        "metric": f"flat_ip_top10_qps_{n//1000}k",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 1e6, 4),
+        "recall_at_10": 1.0,  # exact scan
+        "p50_ms": round(stats["p50_s"] * 1e3, 3),
+    }
+
+
+def config3_ivf_recall_sweep(small: bool) -> dict:
+    """IVF-Flat nprobe sweep: recall@10 vs the exact oracle."""
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.ops import distance as dist_ops
+
+    n = 20_000 if small else 1_000_000
+    nlist = 64 if small else 4096
+    nq = 64 if small else 256
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((n, 384)).astype(np.float32)
+    q = rng.standard_normal((nq, 384)).astype(np.float32)
+    idx = IVFFlatIndex(384, nlist=nlist, train_iters=10)
+    t0 = time.perf_counter()
+    idx.build(db)
+    build_s = time.perf_counter() - t0
+    _, truth = dist_ops.exact_search(jnp.asarray(q), jnp.asarray(db), 10)
+    sweep = {}
+    for nprobe in (1, 2, 4, 8, 16, 32, 64):
+        if nprobe > nlist:
+            break
+        _, ids = idx.search(q, 10, nprobe=nprobe)
+        stats = _bench(lambda x, p=nprobe: idx.search(x, 10, nprobe=p),
+                       jnp.asarray(q), iters=4, warmup=1)
+        sweep[str(nprobe)] = {
+            "recall_at_10": round(_recall(ids, truth), 4),
+            "qps": round(nq / stats["mean_s"], 1),
+        }
+    r64 = sweep.get("64", list(sweep.values())[-1])["recall_at_10"]
+    return {
+        "metric": f"ivf_recall_sweep_{n//1000}k_nlist{nlist}",
+        "value": r64,
+        "unit": "recall@10(nprobe=max)",
+        "vs_baseline": r64,  # FAISS parity target: same-recall-at-same-nprobe
+        "build_vectors_per_s": round(n / build_s, 1),
+        "sweep": sweep,
+    }
+
+
+def config4_sharded_latency(small: bool) -> dict:
+    """Sharded flat scan p50/p99 (virtual mesh off-TPU, 1 chip on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.core.mesh import make_mesh
+    from rag_faiss_embedding_tpu.parallel import sharded_exact_search
+
+    n_dev = len(jax.devices())
+    n = (4096 if small else 1_000_000) // n_dev * n_dev
+    qb = 128 if small else 1024
+    rng = np.random.default_rng(0)
+    db = jnp.asarray(rng.standard_normal((n, 384)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((qb, 384)), jnp.bfloat16)
+    mesh = make_mesh({"db": n_dev})
+    stats = _bench(
+        lambda x: sharded_exact_search(mesh, x, db, 10, chunk_size=65536), q
+    )
+    qps = qb / stats["mean_s"]
+    return {
+        "metric": f"sharded_flat_top10_{n_dev}dev_{n//1000}k",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 1e6, 4),
+        "p50_ms": round(stats["p50_s"] * 1e3, 3),
+        "p99_ms": round(stats["p99_s"] * 1e3, 3),
+        "devices": n_dev,
+    }
+
+
+def config5_end_to_end_rag(small: bool) -> dict:
+    """HTML ingest -> embed -> IVF w/ streaming adds -> retrieve -> generate."""
+    import tempfile
+    from pathlib import Path
+
+    from rag_faiss_embedding_tpu.core import Config
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.index.vector_store import VectorStore
+    from rag_faiss_embedding_tpu.ingest import HtmlIngestor
+    from rag_faiss_embedding_tpu.models import EmbeddingPipeline, MiniLMConfig
+    from rag_faiss_embedding_tpu.models.generator import AnswerGenerator
+    from rag_faiss_embedding_tpu.rag import QueryEngine, RAGManager
+
+    ref_html = Path("/root/reference/html")
+    t_start = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        cfg_kwargs = {}
+        if small:
+            mcfg = MiniLMConfig(vocab_size=4096, hidden_size=64, num_layers=2,
+                                num_heads=4, intermediate_size=128,
+                                max_position_embeddings=128)
+            embedder = EmbeddingPipeline(model_name="bench", cfg=mcfg,
+                                         max_seq_length=128)
+            dim = 64
+        else:
+            embedder = EmbeddingPipeline(max_seq_length=512)
+            dim = embedder.cfg.hidden_size
+        cfg = Config(base_dir=tmp, vector_dimension=dim)
+        cfg.setup_directories()
+        ing = HtmlIngestor(output_dir=cfg.data_dir, url_prefix="https://x")
+        docs = (
+            ing.generate_index(root=ref_html)
+            if ref_html.exists()
+            else [{"id": i, "url": f"https://x/{i}", "title": f"{i}.html",
+                   "content": f"synthetic document {i} about topic {i % 7}"}
+                  for i in range(1, 24)]
+        )
+        embedder.fit_tokenizer([d["content"] for d in docs])
+        manager = RAGManager(config=cfg, embedder=embedder)
+        manager.vector_store.index = IVFFlatIndex(dim, nlist=4, nprobe=4)
+        n1 = manager.initialize_database(docs[:16])
+        n2 = manager.add_documents(docs[16:])  # streaming adds
+        engine = QueryEngine(
+            manager.db, manager.vector_store, manager.embedder,
+            generator=AnswerGenerator(backend="extractive"),
+        )
+        queries = [d["content"][:60] for d in docs[:8]]
+        t0 = time.perf_counter()
+        for query in queries:
+            results = engine.search(query, top_k=3)
+            _ = engine.generate_response(query, results)
+        query_s = time.perf_counter() - t0
+    total_s = time.perf_counter() - t_start
+    docs_per_s = (n1 + n2) / total_s
+    return {
+        "metric": "e2e_rag_ingest_to_answer",
+        "value": round(docs_per_s, 2),
+        "unit": "docs_ingested_per_s",
+        "vs_baseline": 1.0,  # reference publishes no numbers (report-only)
+        "queries_per_s": round(len(queries) / query_s, 2),
+        "docs": n1 + n2,
+    }
+
+
+CONFIGS = {
+    1: config1_bundled_corpus,
+    2: config2_flat_ip_qps,
+    3: config3_ivf_recall_sweep,
+    4: config4_sharded_latency,
+    5: config5_end_to_end_rag,
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="BASELINE.json benchmark suite")
+    p.add_argument("--config", type=int, choices=sorted(CONFIGS))
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--small", action="store_true",
+                   help="CPU-sized smoke scales")
+    args = p.parse_args()
+    which = sorted(CONFIGS) if args.all else [args.config]
+    if which == [None]:
+        p.error("pass --config N or --all")
+    for c in which:
+        print(json.dumps(CONFIGS[c](args.small)))
+
+
+if __name__ == "__main__":
+    main()
