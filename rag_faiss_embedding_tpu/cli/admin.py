@@ -119,8 +119,19 @@ class AdminTool:
 def main(argv: Optional[List[str]] = None) -> None:
     parser = argparse.ArgumentParser(description="RAG datastore admin tool")
     parser.add_argument("--base-dir", default=".")
+    parser.add_argument(
+        "--drop", action="store_true",
+        help="drop the document store and index artifacts, then exit "
+             "(capability parity with reference drop-database.py)",
+    )
     args = parser.parse_args(argv)
-    AdminTool(config=Config.from_env(base_dir=args.base_dir)).run_menu()
+    tool = AdminTool(config=Config.from_env(base_dir=args.base_dir))
+    if args.drop:
+        tool.manager.reset()
+        print("dropped document store and index artifacts")
+        tool.manager.cleanup()
+        return
+    tool.run_menu()
 
 
 if __name__ == "__main__":

@@ -56,6 +56,7 @@ class Config:
     index_metric: str = "L2"  # "L2" or "IP" — honored for real here
     index_path: Path = None  # type: ignore[assignment]
     index_dtype: str = "float32"  # "float32" (FAISS-exact) or "bfloat16" (fast)
+    search_selector: str = "exact"  # "exact" (top_k) or "approx" (approx_max_k)
 
     # Search (reference config.py:33-34)
     top_k: int = 5
@@ -112,6 +113,8 @@ class Config:
             raise ValueError("index_metric must be either 'L2' or 'IP'")
         if self.index_dtype not in ("float32", "bfloat16"):
             raise ValueError("index_dtype must be 'float32' or 'bfloat16'")
+        if self.search_selector not in ("exact", "approx"):
+            raise ValueError("search_selector must be 'exact' or 'approx'")
         if self.batch_size <= 0:
             raise ValueError("batch_size must be positive")
         if self.top_k <= 0:

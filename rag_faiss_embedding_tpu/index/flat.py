@@ -50,7 +50,10 @@ class FlatIndex:
         capacity: int = _ROW_ALIGN,
         device: Optional[jax.Device] = None,
         use_pallas: Optional[bool] = None,
+        selector: str = "exact",
     ):
+        if selector not in ("exact", "approx"):
+            raise ValueError(f"selector must be 'exact' or 'approx', got {selector!r}")
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
         self.dim = int(dim)
@@ -58,6 +61,7 @@ class FlatIndex:
         self.dtype = jnp.dtype(dtype)
         self.device = device if device is not None else jax.devices()[0]
         self.ntotal = 0
+        self.selector = selector
         self._capacity = _round_up(int(capacity), _ROW_ALIGN)
         self._use_pallas = use_pallas
         self._buf = jax.device_put(
@@ -120,7 +124,9 @@ class FlatIndex:
         q = jax.device_put(q.astype(self.dtype), self.device)
         use_pallas = self._use_pallas
         if use_pallas is None:
-            use_pallas = self.device.platform == "tpu"
+            # default to the XLA scan: measured faster than the current
+            # pallas kernel on-chip, and approx selection rides it
+            use_pallas = False
         if use_pallas:
             try:
                 from ..ops import pallas_scan
@@ -135,6 +141,7 @@ class FlatIndex:
             q, self._buf, k,
             metric=self.metric, db_sq=self._sq,
             n_valid=self.ntotal, chunk_size=chunk_size,
+            selector=self.selector,
         )
 
     # ------------------------------------------------------------- manage

@@ -39,13 +39,14 @@ class VectorStore:
         index_path: str | Path = "data/index.tpu",
         dtype: str = "float32",
         index: Optional[object] = None,
+        selector: str = "exact",
     ):
         self.dimension = dimension
         self.metric = metric
         self.index_path = Path(index_path)
         self.doc_ids: List[int] = []
         self.index = index if index is not None else FlatIndex(
-            dimension, metric=metric, dtype=dtype
+            dimension, metric=metric, dtype=dtype, selector=selector
         )
         if self.index_path.exists():
             self.load_index()

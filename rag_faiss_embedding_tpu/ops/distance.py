@@ -105,7 +105,9 @@ def _chunk_scores(
                    precision=_matmul_precision(q))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk_size"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk_size", "selector")
+)
 def _exact_search_impl(
     q: jax.Array,
     db: jax.Array,
@@ -115,6 +117,7 @@ def _exact_search_impl(
     db_sq: Optional[jax.Array],
     n_valid: jax.Array,
     chunk_size: int,
+    selector: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     n = db.shape[0]
     nq = q.shape[0]
@@ -147,7 +150,14 @@ def _exact_search_impl(
         scores = _chunk_scores(q, chunk, chunk_sq, metric)
         gidx = start + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(gidx < n_valid, scores, NEG_INF)
-        cv, cp = lax.top_k(scores, k_eff)
+        kc = min(k_eff, chunk_size)  # a chunk can contribute at most its rows
+        if selector == "approx":
+            # XLA's TPU PartialReduce ANN selection (the ScaNN-style
+            # reduction); per-chunk recall>=0.99, cross-chunk merge exact.
+            cv, cp = lax.approx_max_k(scores, kc, recall_target=0.99)
+            cp = cp.astype(jnp.int32)
+        else:
+            cv, cp = lax.top_k(scores, kc)
         ci = jnp.take_along_axis(gidx, cp, axis=-1)
         return merge_topk(best_v, best_i, cv, ci, k_eff), None
 
@@ -183,6 +193,7 @@ def exact_search(
     db_sq: Optional[jax.Array] = None,
     n_valid: Optional[int] = None,
     chunk_size: int = 65536,
+    selector: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k scan over ``db`` for a batch of queries.
 
@@ -195,6 +206,9 @@ def exact_search(
       n_valid: number of real rows (dynamic — no recompile on streaming adds);
         rows >= n_valid are masked out.
       chunk_size: database rows per scan step (static).
+      selector: "exact" (lax.top_k, rank-exact) or "approx"
+        (lax.approx_max_k, TPU-optimized selection with per-chunk
+        recall@k >= 0.99; the distance computation stays exact).
 
     Returns:
       (values, indices): (Q, k) raw distances/scores and int32 row indices.
@@ -204,8 +218,11 @@ def exact_search(
     if metric not in ("L2", "IP"):
         raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
     n = db.shape[0]
+    if selector not in ("exact", "approx"):
+        raise ValueError(f"selector must be 'exact' or 'approx', got {selector!r}")
     nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
     chunk_size = min(chunk_size, max(1, n))
     return _exact_search_impl(
-        q, db, k, metric=metric, db_sq=db_sq, n_valid=nv, chunk_size=chunk_size
+        q, db, k, metric=metric, db_sq=db_sq, n_valid=nv,
+        chunk_size=chunk_size, selector=selector,
     )

@@ -34,13 +34,14 @@ from ..ops import distance as dist_ops
 logger = get_logger(__name__)
 
 
-def _local_scan(q, db_shard, sq_shard, start, n_valid, k, metric, chunk_size):
+def _local_scan(q, db_shard, sq_shard, start, n_valid, k, metric, chunk_size,
+                selector="exact"):
     """Per-device fused scan over the local shard; returns global indices."""
     vals, idx = dist_ops._exact_search_impl(
         q, db_shard, k,
         metric=metric, db_sq=sq_shard,
         n_valid=jnp.maximum(n_valid - start, 0).astype(jnp.int32),
-        chunk_size=chunk_size,
+        chunk_size=chunk_size, selector=selector,
     )
     gidx = jnp.where(idx >= 0, idx + start, -1)
     return vals, gidx
@@ -58,6 +59,7 @@ def sharded_exact_search(
     chunk_size: int = 65536,
     db_axis: str = "db",
     data_axis: Optional[str] = None,
+    selector: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded database.
 
@@ -85,7 +87,7 @@ def sharded_exact_search(
         dev = jax.lax.axis_index(db_axis)
         start = dev * rows_per_dev
         vals, gidx = _local_scan(
-            q_l, db_l, sq_l, start, nv_l, k_eff, metric, chunk_size
+            q_l, db_l, sq_l, start, nv_l, k_eff, metric, chunk_size, selector
         )
         # merge across the db axis: gather k candidates from every shard
         all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
@@ -136,6 +138,7 @@ class ShardedFlatIndex:
         dtype: str | jnp.dtype = "float32",
         capacity: int = 8192,
         db_axis: str = "db",
+        selector: str = "exact",
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -144,6 +147,7 @@ class ShardedFlatIndex:
         self.metric = metric
         self.dtype = jnp.dtype(dtype)
         self.db_axis = db_axis
+        self.selector = selector
         self.n_dev = mesh.shape[db_axis]
         self.ntotal = 0
         self._capacity = self._round_cap(capacity)
@@ -213,6 +217,7 @@ class ShardedFlatIndex:
             self.mesh, q, self._buf, k,
             metric=self.metric, db_sq=self._sq, n_valid=self.ntotal,
             chunk_size=chunk_size, db_axis=self.db_axis,
+            selector=self.selector,
         )
 
     def reset(self) -> None:

@@ -58,6 +58,7 @@ class RAGManager:
             metric=self.config.index_metric,
             index_path=self.config.index_path,
             dtype=self.config.index_dtype,
+            selector=self.config.search_selector,
         )
 
     # ------------------------------------------------------------- loading

@@ -113,6 +113,19 @@ class SearchService:
                         p.future.set_exception(e)
 
 
+_SERVICE_KEY = None
+
+
+def _service_key():
+    """aiohttp AppKey (typed app storage; plain string keys are deprecated)."""
+    global _SERVICE_KEY
+    if _SERVICE_KEY is None:
+        from aiohttp import web
+
+        _SERVICE_KEY = web.AppKey("search_service", SearchService)
+    return _SERVICE_KEY
+
+
 def make_app(engine, config: Optional[Config] = None):
     """Build the aiohttp application."""
     from aiohttp import web
@@ -170,7 +183,7 @@ def make_app(engine, config: Optional[Config] = None):
     app.router.add_get("/stats", stats)
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)
-    app["service"] = service
+    app[_service_key()] = service
     return app
 
 

@@ -95,3 +95,24 @@ def test_merge_topk(rng):
     v, i = D.merge_topk(va, ia, vb, ib, 4)
     np.testing.assert_array_equal(np.asarray(v), [[5.0, 4.0, 3.0, 2.0]])
     np.testing.assert_array_equal(np.asarray(i), [[10, 20, 11, 21]])
+
+
+def test_k_larger_than_chunk(rng):
+    """k between chunk_size and n: per-chunk top-k clamps to chunk width."""
+    db = rng.standard_normal((100, 8)).astype(np.float32)
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    vals, idx = D.exact_search(q, db, 50, metric="L2", chunk_size=32)
+    ref_vals, ref_idx = numpy_exact(q, db, 50, "L2")
+    assert_rank_match(vals, idx, ref_vals, ref_idx)
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP"])
+def test_approx_selector_high_recall(rng, metric):
+    db = rng.standard_normal((4096, 32)).astype(np.float32)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    vals, idx = D.exact_search(q, db, 10, metric=metric, chunk_size=1024,
+                               selector="approx")
+    _, truth = numpy_exact(q, db, 10, metric)
+    hits = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(np.asarray(idx), truth))
+    assert hits / truth.size >= 0.95
