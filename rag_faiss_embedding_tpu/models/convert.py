@@ -129,6 +129,51 @@ def load_pretrained(
     return cfg, params
 
 
+def export_params(params, path) -> None:
+    """Flat-npz export of a param tree (slash-joined keys); the embedding
+    pipeline and training CLI round-trip through this format."""
+    from pathlib import Path
+
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(p, "key", p)) for p in key_path)
+        flat[name] = np.asarray(leaf)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+    logger.info("exported %d param tensors to %s", len(flat), path)
+
+
+def import_params(path) -> dict:
+    """Inverse of export_params: nested param tree from the flat npz."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    tree: dict = {}
+    for name, arr in flat.items():
+        node = tree
+        parts = name.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    return tree
+
+
+def infer_config_from_params(params) -> MiniLMConfig:
+    """Reconstruct a MiniLMConfig from a param tree's shapes."""
+    emb = params["embeddings"]
+    vocab, hidden = emb["word_embeddings"]["embedding"].shape
+    max_pos = emb["position_embeddings"]["embedding"].shape[0]
+    n_layers = sum(1 for k in params if k.startswith("layer_"))
+    qk = params["layer_0"]["attention"]["query"]["kernel"]
+    heads = qk.shape[1]
+    ffn = params["layer_0"]["intermediate"]["kernel"].shape[1]
+    return MiniLMConfig(
+        vocab_size=int(vocab), hidden_size=int(hidden), num_layers=n_layers,
+        num_heads=int(heads), intermediate_size=int(ffn),
+        max_position_embeddings=int(max_pos),
+    )
+
+
 def deterministic_params(cfg: MiniLMConfig, seed: int = 0) -> dict:
     """Offline fallback: reproducible random init.
 

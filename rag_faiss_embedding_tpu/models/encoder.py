@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.logging import get_logger
-from .convert import deterministic_params, load_pretrained
+from .convert import (
+    deterministic_params,
+    import_params,
+    infer_config_from_params,
+    load_pretrained,
+)
 from .minilm import MiniLMConfig, MiniLMEncoder
 from .tokenizer import WordPieceTokenizer
 
@@ -46,6 +51,7 @@ class EmbeddingPipeline:
         normalize: bool = False,
         max_seq_length: int = 512,
         vocab_path: Optional[str | Path] = None,
+        params_path: Optional[str | Path] = None,
         device: Optional[jax.Device] = None,
     ):
         self.model_name = model_name
@@ -66,6 +72,11 @@ class EmbeddingPipeline:
         self.vocab_path = Path(vocab_path) if vocab_path else None
 
         # --- model weights
+        if params is None and params_path and Path(params_path).exists():
+            params = import_params(params_path)
+            if cfg is None:
+                cfg = infer_config_from_params(params)
+            logger.info("loaded encoder params from %s", params_path)
         if params is None:
             loaded = load_pretrained(model_name, cfg)
             if loaded is not None:

@@ -48,6 +48,7 @@ class RAGManager:
             pooling=self.config.pooling,
             max_seq_length=self.config.max_seq_length,
             vocab_path=self.config.data_dir / "vocab.txt",
+            params_path=self.config.data_dir / "encoder_params.npz",
             normalize=self.config.index_metric == "IP",
         )
         self.index_kind = index_kind
