@@ -76,6 +76,7 @@ class Config:
     api_port: int = 8000
     serve_max_batch: int = 64
     serve_batch_timeout_ms: float = 2.0
+    serve_watchdog_interval_s: float = 30.0  # 0 disables the self-probe
 
     # Logging (reference config.py:39-42)
     log_file: Optional[Path] = None

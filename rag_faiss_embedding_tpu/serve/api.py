@@ -137,18 +137,50 @@ def make_app(engine, config: Optional[Config] = None):
         batch_timeout_ms=cfg.serve_batch_timeout_ms,
     )
 
+    # --- failure detection: periodic end-to-end self-probe (embed + scan).
+    # The reference has no failure detection at all (SURVEY.md §5); here
+    # /health degrades to 503 when the accelerator path stops responding.
+    watchdog = {"status": "healthy", "last_ok": None, "error": None}
+
+    async def _watchdog_loop(interval_s: float = 30.0):
+        loop = asyncio.get_running_loop()
+        while True:
+            try:
+                await asyncio.wait_for(
+                    asyncio.to_thread(engine.search_batch, ["__healthcheck__"], 1),
+                    timeout=max(interval_s, 60.0),
+                )
+                watchdog.update(status="healthy", last_ok=loop.time(), error=None)
+            except Exception as e:
+                watchdog.update(status="unhealthy", error=str(e))
+                logger.error("watchdog probe failed: %s", e)
+            await asyncio.sleep(interval_s)
+
+    watchdog_task: list = []
+
     async def on_startup(app):
         await service.start()
+        if cfg.serve_watchdog_interval_s > 0:
+            watchdog_task.append(
+                asyncio.create_task(_watchdog_loop(cfg.serve_watchdog_interval_s))
+            )
 
     async def on_cleanup(app):
+        for task in watchdog_task:
+            task.cancel()
         await service.stop()
 
     async def health(request):
-        return web.json_response({
-            "status": "healthy",
-            "documents": engine.db.get_document_count(),
-            "vectors": engine.vector_store.ntotal,
-        })
+        healthy = watchdog["status"] == "healthy"
+        return web.json_response(
+            {
+                "status": watchdog["status"],
+                "documents": engine.db.get_document_count(),
+                "vectors": engine.vector_store.ntotal,
+                "watchdog_error": watchdog["error"],
+            },
+            status=200 if healthy else 503,
+        )
 
     async def search(request):
         try:

@@ -89,3 +89,23 @@ def test_pipeline_end_to_end(tmp_path, manager):
     assert n == 1
     results = manager.search_similar_documents("jax compiles programs", k=1)
     assert results and "compiles" in results[0]["content"].lower()
+
+
+def test_ingest_json_with_validation(tmp_path, manager):
+    import json as _json
+
+    from rag_faiss_embedding_tpu.cli.ingest_json import ingest_json
+
+    raw = [
+        {"url": "example.com/good", "title": "Good",
+         "content": "this document easily has more than ten words of real "
+                    "content inside it. definitely enough."},
+        {"url": "", "title": "bad", "content": "too short"},
+    ]
+    p = tmp_path / "search-index.json"
+    p.write_text(_json.dumps(raw))
+    n = ingest_json(manager, p, validate=True)
+    assert n == 1
+    assert manager.db.get_document_count() == 1
+    results = manager.search_similar_documents("real content document", k=1)
+    assert results and results[0]["url"] == "https://example.com/good"

@@ -117,3 +117,36 @@ def test_concurrent_requests_are_batched(engine):
     assert ids == [9, 4, 1] * 4
     # at least one multi-query batch must have been coalesced
     assert any("n=" in k and k != "batch_search(n=1)" for k in stats), stats
+
+
+def test_watchdog_reports_health(engine):
+    """The self-probe flips /health to 503 when the search path dies."""
+    from aiohttp.test_utils import TestClient, TestServer
+    from rag_faiss_embedding_tpu.core import Config
+
+    cfg = Config(base_dir="/tmp", serve_watchdog_interval_s=0.05)
+
+    async def run():
+        app = make_app(engine, cfg)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await asyncio.sleep(0.3)
+            r1 = await client.get("/health")
+            ok = r1.status, (await r1.json())["status"]
+            # break the engine: searches now raise
+            original = engine.search_batch
+            engine.search_batch = lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("device lost")
+            )
+            await asyncio.sleep(0.3)
+            r2 = await client.get("/health")
+            broken = r2.status, (await r2.json())["status"]
+            engine.search_batch = original
+            return ok, broken
+        finally:
+            await client.close()
+
+    ok, broken = asyncio.run(run())
+    assert ok == (200, "healthy")
+    assert broken == (503, "unhealthy")
