@@ -95,3 +95,21 @@ def test_parity_with_torch_bert():
         {"params": params}, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-3)
+
+
+def test_bf16_compute_close_to_f32(params):
+    """bfloat16 compute dtype (MXU-native) stays close to the f32 forward."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(SMALL, dtype="bfloat16")
+    model32 = MiniLMEncoder(SMALL)
+    model16 = MiniLMEncoder(cfg16)
+    ids = jnp.array([[2, 5, 6, 7, 3, 0, 0, 0]], jnp.int32)
+    mask = jnp.array([[1, 1, 1, 1, 1, 0, 0, 0]], jnp.int32)
+    out32 = np.asarray(model32.apply({"params": params}, ids, mask))
+    out16 = np.asarray(model16.apply({"params": params}, ids, mask))
+    assert out16.dtype == np.float32  # pooled output upcast
+    cos = (out32 * out16).sum() / (
+        np.linalg.norm(out32) * np.linalg.norm(out16)
+    )
+    assert cos > 0.99
