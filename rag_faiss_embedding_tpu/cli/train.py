@@ -95,6 +95,7 @@ def train(
     params_out: Optional[str | Path] = None,
     seed: int = 0,
     log_every: int = 10,
+    pooling: str = "mean",
 ):
     """Run the sharded contrastive training loop; returns (params, tokenizer)."""
     import jax
@@ -116,7 +117,9 @@ def train(
     mesh = make_mesh({"data": n_dev // model_par, "model": model_par})
     logger.info("mesh: %s", dict(mesh.shape))
 
-    run_step, state = make_train_step(cfg, mesh, learning_rate=learning_rate)
+    run_step, state = make_train_step(
+        cfg, mesh, learning_rate=learning_rate, pooling=pooling
+    )
     ckpt = None
     if checkpoint_dir:
         from ..parallel.checkpoint import TrainCheckpointer
@@ -153,6 +156,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = parser.parse_args(argv)
 
     config = Config.from_env(base_dir=args.base_dir)
+    # train with the SAME pooling the deployment serves with (config.pooling):
+    # a CLS-served encoder trained on mean-pooled InfoNCE is silently degraded
     doc_path = Path(args.documents or config.documents_json)
     documents = json.loads(doc_path.read_text())
     params_out = args.params_out or (config.data_dir / "encoder_params.npz")
@@ -164,6 +169,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         learning_rate=args.lr,
         checkpoint_dir=args.checkpoint_dir,
         params_out=params_out,
+        pooling=config.pooling,
     )
     tokenizer.save(config.data_dir / "vocab.txt")
     logger.info("training complete; params at %s", params_out)

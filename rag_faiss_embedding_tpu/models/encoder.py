@@ -60,7 +60,16 @@ class EmbeddingPipeline:
         self.max_seq_length = max_seq_length
         self.device = device if device is not None else jax.devices()[0]
 
-        # --- tokenizer: HF cache -> vocab file -> trained-on-demand
+        # --- tokenizer resolution. When corpus-trained encoder params exist
+        # (params_path), the vocab they were trained with MUST win over an
+        # HF-cache vocab: mismatched vocab ids index garbage embedding rows
+        # silently. Otherwise: HF cache -> vocab file -> trained-on-demand.
+        have_trained = (
+            params is None and params_path and Path(params_path).exists()
+        )
+        if tokenizer is None and have_trained and vocab_path and Path(vocab_path).exists():
+            tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path)
+            logger.info("loaded trained-vocab tokenizer from %s", vocab_path)
         if tokenizer is None:
             tokenizer = WordPieceTokenizer.from_hf_cache(model_name)
         if tokenizer is None and vocab_path and Path(vocab_path).exists():

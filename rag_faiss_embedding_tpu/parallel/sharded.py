@@ -47,6 +47,56 @@ def _local_scan(q, db_shard, sq_shard, start, n_valid, k, metric, chunk_size,
     return vals, gidx
 
 
+@functools.lru_cache(maxsize=128)
+def _build_sharded_search(
+    mesh: Mesh,
+    k: int,
+    k_eff: int,
+    rows_per_dev: int,
+    metric: str,
+    chunk_size: int,
+    db_axis: str,
+    data_axis: Optional[str],
+    selector: str,
+):
+    """Build + jit the shard_map'd search once per static signature.
+
+    Rebuilding the closure per call would defeat the jit cache (every search
+    would retrace + recompile); lru_cache keyed on the static config returns
+    the same compiled callable.
+    """
+    n_dev = mesh.shape[db_axis]
+    qspec = P(data_axis) if data_axis else P()
+    in_specs = (qspec, P(db_axis), P(db_axis), P())
+    out_specs = (qspec, qspec)
+
+    def kernel(q_l, db_l, sq_l, nv_l):
+        dev = jax.lax.axis_index(db_axis)
+        start = dev * rows_per_dev
+        vals, gidx = _local_scan(
+            q_l, db_l, sq_l, start, nv_l, k_eff, metric, chunk_size, selector
+        )
+        # merge across the db axis: gather k candidates from every shard
+        all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, db_axis, axis=1, tiled=True)
+        scores = -all_vals if metric == "L2" else all_vals
+        scores = jnp.where(all_idx >= 0, scores, dist_ops.NEG_INF)
+        best, pos = jax.lax.top_k(scores, min(k, k_eff * n_dev))
+        merged_vals = jnp.take_along_axis(all_vals, pos, axis=1)
+        merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        merged_vals = jnp.where(
+            merged_idx >= 0, merged_vals,
+            jnp.inf if metric == "L2" else -jnp.inf,
+        )
+        return merged_vals, merged_idx
+
+    mapped = jax.shard_map(
+        kernel, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_exact_search(
     mesh: Mesh,
     q: jax.Array,
@@ -79,35 +129,11 @@ def sharded_exact_search(
         db_sq = dist_ops.sqnorms(db)
     chunk_size = min(chunk_size, rows_per_dev)
 
-    qspec = P(data_axis) if data_axis else P()
-    in_specs = (qspec, P(db_axis), P(db_axis), P())
-    out_specs = (qspec, qspec)
-
-    def kernel(q_l, db_l, sq_l, nv_l):
-        dev = jax.lax.axis_index(db_axis)
-        start = dev * rows_per_dev
-        vals, gidx = _local_scan(
-            q_l, db_l, sq_l, start, nv_l, k_eff, metric, chunk_size, selector
-        )
-        # merge across the db axis: gather k candidates from every shard
-        all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(gidx, db_axis, axis=1, tiled=True)
-        scores = -all_vals if metric == "L2" else all_vals
-        scores = jnp.where(all_idx >= 0, scores, dist_ops.NEG_INF)
-        best, pos = jax.lax.top_k(scores, min(k, k_eff * n_dev))
-        merged_vals = jnp.take_along_axis(all_vals, pos, axis=1)
-        merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
-        merged_vals = jnp.where(
-            merged_idx >= 0, merged_vals,
-            jnp.inf if metric == "L2" else -jnp.inf,
-        )
-        return merged_vals, merged_idx
-
-    mapped = jax.shard_map(
-        kernel, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
+    fn = _build_sharded_search(
+        mesh, k, k_eff, rows_per_dev, metric, chunk_size, db_axis,
+        data_axis, selector,
     )
-    vals, idx = jax.jit(mapped)(q, db, db_sq, nv)
+    vals, idx = fn(q, db, db_sq, nv)
     k_got = vals.shape[1]
     if k_got < k:
         nq = q.shape[0]
@@ -182,6 +208,22 @@ class ShardedFlatIndex:
         self._sq = jax.device_put(jnp.asarray(sq), self._sharding)
         logger.debug("grew sharded index capacity to %d rows", new_cap)
 
+    @functools.cached_property
+    def _update_fns(self):
+        """Jitted in-place appenders, built once (watermark is traced so
+        streaming adds never retrace)."""
+        buf_update = jax.jit(
+            lambda b, v, at: jax.lax.dynamic_update_slice(b, v, (at, 0)),
+            donate_argnums=(0,),
+            out_shardings=self._sharding,
+        )
+        sq_update = jax.jit(
+            lambda s, v, at: jax.lax.dynamic_update_slice(s, v, (at,)),
+            donate_argnums=(0,),
+            out_shardings=self._sharding,
+        )
+        return buf_update, sq_update
+
     def add(self, vectors) -> None:
         vecs = jnp.asarray(vectors, self.dtype)
         if vecs.ndim == 1:
@@ -189,16 +231,10 @@ class ShardedFlatIndex:
         n_new = vecs.shape[0]
         self._grow(self.ntotal + n_new)
         sq_new = dist_ops.sqnorms(vecs)
-        self._buf = jax.jit(
-            lambda b, v: jax.lax.dynamic_update_slice(b, v, (self.ntotal, 0)),
-            donate_argnums=(0,),
-            out_shardings=self._sharding,
-        )(self._buf, vecs)
-        self._sq = jax.jit(
-            lambda s, v: jax.lax.dynamic_update_slice(s, v, (self.ntotal,)),
-            donate_argnums=(0,),
-            out_shardings=self._sharding,
-        )(self._sq, sq_new)
+        buf_update, sq_update = self._update_fns
+        at = jnp.int32(self.ntotal)
+        self._buf = buf_update(self._buf, vecs, at)
+        self._sq = sq_update(self._sq, sq_new, at)
         self.ntotal += n_new
 
     def search(self, queries, k: int, chunk_size: int = 65536):

@@ -52,10 +52,9 @@ class RAGManager:
             normalize=self.config.index_metric == "IP",
         )
         self.index_kind = index_kind
+        # the index dimension is always the encoder's output width
         self.vector_store = VectorStore(
-            dimension=self.config.vector_dimension
-            if self.embedder.cfg.hidden_size == self.config.vector_dimension
-            else self.embedder.cfg.hidden_size,
+            dimension=self.embedder.cfg.hidden_size,
             metric=self.config.index_metric,
             index_path=self.config.index_path,
             dtype=self.config.index_dtype,

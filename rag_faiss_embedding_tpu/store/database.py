@@ -11,7 +11,7 @@ covering ``insert_documents``/``get_document_by_id``/``get_document_count``
 
 By design (unlike the reference): no singleton, no FAISS store owned by the
 database (``database.py:31-33`` couples them), thread-safe connections for
-the API server, and batched executemany inserts.
+the API server, and single-transaction batch inserts.
 """
 
 from __future__ import annotations
@@ -101,10 +101,7 @@ class Database:
             if doc.get("id") is not None:
                 ids.append(int(doc["id"]))
             else:
-                row = cur.execute(
-                    "SELECT id FROM documents WHERE url = ?", (doc["url"],)
-                ).fetchone()
-                ids.append(int(row[0]))
+                ids.append(int(cur.lastrowid))
         self.conn.commit()
         logger.debug("inserted %d documents", len(ids))
         return ids
@@ -132,7 +129,9 @@ class Database:
             ids,
         ).fetchall()
         by_id = {row[0]: _row_to_doc(row) for row in rows}
-        return [by_id.get(i) for i in ids]
+        # fresh dict per slot: callers attach per-hit fields (distance/score),
+        # and duplicate ids must not alias one object
+        return [dict(by_id[i]) if i in by_id else None for i in ids]
 
     def get_document_id_by_url(self, url: str) -> Optional[int]:
         row = self.conn.execute(

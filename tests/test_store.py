@@ -52,3 +52,11 @@ def test_fetch_all(tmp_path):
     db.insert_documents(docs())
     all_docs = db.fetch_all_documents()
     assert [d["id"] for d in all_docs] == [3, 7]
+
+
+def test_duplicate_ids_get_fresh_dicts(tmp_path):
+    db = Database(tmp_path / "d.db")
+    db.insert_documents(docs())
+    a, b = db.get_documents_by_ids([3, 3])
+    a["distance"] = 1.0
+    assert "distance" not in b  # no aliasing between duplicate hits
