@@ -118,3 +118,44 @@ def test_param_sharding_layout():
     assert "model" in spec  # heads sharded
     ln = params["layer_0"]["attention_norm"]["scale"]
     assert all(s is None for s in ln.sharding.spec)  # replicated
+
+
+# ---------------------------------------------------------------- sharded IVF
+
+def test_sharded_ivf_full_probe_is_exact(rng):
+    from rag_faiss_embedding_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+    mesh = make_mesh({"db": 8})
+    n, d = 1024, 16
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    idx = ShardedIVFIndex(d, mesh, nlist=16, nprobe=16, train_iters=8)
+    idx.build(db)
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    vals, ids = idx.search(q, 7, nprobe=16)
+    ref_vals, ref_idx = numpy_exact(q, db, 7, "L2")
+    assert_rank_match(vals, ids, ref_vals, ref_idx)
+
+
+def test_sharded_ivf_self_retrieval_and_recall(rng):
+    from rag_faiss_embedding_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+    mesh = make_mesh({"db": 8})
+    centers = rng.standard_normal((16, 16)).astype(np.float32) * 3
+    db = (centers[:, None, :] + 0.1 * rng.standard_normal((16, 48, 16))
+          ).reshape(-1, 16).astype(np.float32)
+    idx = ShardedIVFIndex(16, mesh, nlist=16, nprobe=4, train_iters=10)
+    idx.build(db)
+    vals, ids = idx.search(db[123], 1)
+    assert int(np.asarray(ids)[0, 0]) == 123
+    # recall grows with nprobe
+    q = rng.standard_normal((16, 16)).astype(np.float32)
+    _, truth = numpy_exact(q, db, 10, "L2")
+
+    def recall(p):
+        _, got = idx.search(q, 10, nprobe=p)
+        got = np.asarray(got)
+        return np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                        for a, b in zip(got, truth)])
+
+    assert recall(1) <= recall(8) + 1e-9
+    assert recall(16) > 0.999
