@@ -1,0 +1,144 @@
+"""HTTP serving load test: concurrent clients against the API server.
+
+Measures the serving-path numbers BASELINE.md config #2/#4 care about
+(QPS, p50/p99 latency) including the micro-batcher's coalescing behavior —
+the piece bench.py's raw-kernel numbers don't cover. Spins an in-process
+server around a QueryEngine (or targets a running server via --url).
+
+    python -m benchmarks.load_test --small          # in-process smoke
+    python -m benchmarks.load_test --url http://host:8000/search
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+from typing import List, Optional
+
+
+async def _drive(post, queries: List[str], concurrency: int, total: int):
+    latencies: List[float] = []
+    sem = asyncio.Semaphore(concurrency)
+    t_start = time.perf_counter()
+
+    async def one(i: int):
+        async with sem:
+            t0 = time.perf_counter()
+            await post(queries[i % len(queries)])
+            latencies.append(time.perf_counter() - t0)
+
+    await asyncio.gather(*[one(i) for i in range(total)])
+    wall = time.perf_counter() - t_start
+    latencies.sort()
+    n = len(latencies)
+    return {
+        "requests": n,
+        "qps": round(n / wall, 2),
+        "p50_ms": round(latencies[n // 2] * 1e3, 2),
+        "p90_ms": round(latencies[int(n * 0.90)] * 1e3, 2),
+        "p99_ms": round(latencies[min(n - 1, int(n * 0.99))] * 1e3, 2),
+        "concurrency": concurrency,
+    }
+
+
+async def run_inprocess(small: bool, concurrency: int, total: int) -> dict:
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rag_faiss_embedding_tpu.core import Config
+    from rag_faiss_embedding_tpu.index import VectorStore
+    from rag_faiss_embedding_tpu.models import EmbeddingPipeline, MiniLMConfig
+    from rag_faiss_embedding_tpu.models.generator import AnswerGenerator
+    from rag_faiss_embedding_tpu.rag import QueryEngine
+    from rag_faiss_embedding_tpu.serve.api import make_app
+    from rag_faiss_embedding_tpu.store import Database
+
+    import tempfile
+
+    if small:
+        mcfg = MiniLMConfig(vocab_size=2048, hidden_size=64, num_layers=2,
+                            num_heads=4, intermediate_size=128,
+                            max_position_embeddings=64)
+        embedder = EmbeddingPipeline(model_name="loadtest", cfg=mcfg,
+                                     max_seq_length=64)
+    else:
+        embedder = EmbeddingPipeline()
+
+    corpus = [
+        f"document {i} about topic {i % 29} with content words "
+        f"{' '.join(f'w{j}' for j in range(i % 11))}"
+        for i in range(200)
+    ]
+    embedder.fit_tokenizer(corpus)
+    # NB: ":memory:" sqlite is per-connection; the store opens a connection
+    # per thread, so an in-memory db would be empty inside the batcher thread
+    db_file = tempfile.NamedTemporaryFile(suffix=".db", delete=False)
+    db = Database(db_file.name)
+    ids = db.insert_documents(
+        [{"url": f"https://x/{i}", "title": f"{i}", "content": c}
+         for i, c in enumerate(corpus, start=1)]
+    )
+    store = VectorStore(dimension=embedder.cfg.hidden_size,
+                        index_path="/nonexistent/loadtest.idx")
+    store.add_vectors(embedder.generate_embeddings(corpus), ids)
+    engine = QueryEngine(db, store, embedder,
+                         generator=AnswerGenerator(backend="extractive"))
+    cfg = Config(base_dir="/tmp", serve_watchdog_interval_s=0)
+    app = make_app(engine, cfg)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        queries = [f"topic {i} content" for i in range(29)]
+
+        async def post(text):
+            resp = await client.post(
+                "/search", json={"text": text, "top_k": 3, "generate": False}
+            )
+            assert resp.status == 200, await resp.text()
+            return await resp.json()
+
+        await post(queries[0])  # warm compile
+        return await _drive(post, queries, concurrency, total)
+    finally:
+        await client.close()
+
+
+async def run_remote(url: str, concurrency: int, total: int) -> dict:
+    import aiohttp
+
+    async with aiohttp.ClientSession() as session:
+        queries = [f"topic {i} content" for i in range(29)]
+
+        async def post(text):
+            async with session.post(
+                url, json={"text": text, "top_k": 3, "generate": False}
+            ) as resp:
+                assert resp.status == 200
+                return await resp.json()
+
+        await post(queries[0])
+        return await _drive(post, queries, concurrency, total)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="HTTP serving load test")
+    parser.add_argument("--url", default=None, help="target a running server")
+    parser.add_argument("--small", action="store_true")
+    parser.add_argument("--concurrency", type=int, default=32)
+    parser.add_argument("--requests", type=int, default=300)
+    args = parser.parse_args()
+    if args.url:
+        result = asyncio.run(run_remote(args.url, args.concurrency, args.requests))
+    else:
+        result = asyncio.run(run_inprocess(args.small, args.concurrency,
+                                           args.requests))
+    result["metric"] = "serve_search_qps"
+    result["value"] = result["qps"]
+    result["unit"] = "qps"
+    result["vs_baseline"] = 1.0  # reference publishes no serving numbers
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,11 @@ def _row_to_doc(row) -> Dict:
 
 
 class Database:
-    """SQLite document store with per-thread connections."""
+    """SQLite document store with per-thread connections.
+
+    NB: ``":memory:"`` paths get a separate empty database per thread (sqlite
+    semantics) — use a file path for any multi-threaded use.
+    """
 
     def __init__(self, db_path: str | Path = "data/documents.db"):
         self.db_path = str(db_path)
