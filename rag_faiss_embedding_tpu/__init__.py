@@ -40,10 +40,12 @@ def _enable_compilation_cache() -> None:
     TPU compile per shape. Opt out with RFE_NO_COMPILE_CACHE=1."""
     if _os.environ.get("RFE_NO_COMPILE_CACHE"):
         return
-    # The experimental 'axon' PJRT tunnel deadlocks inside the persistent
-    # cache (all threads futex-wait on first compile); only enable the cache
-    # on standard platforms.
-    if "axon" in _os.environ.get("JAX_PLATFORMS", ""):
+    # Only worth it (and only safe) on a real TPU platform: the experimental
+    # 'axon' tunnel deadlocks inside the persistent cache (threads futex-wait
+    # on first compile), and XLA:CPU AOT reload warns about machine-feature
+    # mismatches while CPU compiles are cheap anyway.
+    platforms = _os.environ.get("JAX_PLATFORMS", "")
+    if platforms != "tpu":
         return
     try:
         import jax
