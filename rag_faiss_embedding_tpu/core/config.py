@@ -55,7 +55,7 @@ class Config:
     # Index (reference config.py:29-31)
     index_metric: str = "L2"  # "L2" or "IP" — honored for real here
     index_path: Path = None  # type: ignore[assignment]
-    index_dtype: str = "float32"  # "float32" (FAISS-exact) or "bfloat16" (fast)
+    index_dtype: str = "float32"  # "float32" (FAISS-exact), "bfloat16", "int8"
     search_selector: str = "exact"  # "exact" (top_k) or "approx" (approx_max_k)
 
     # Search (reference config.py:33-34)
@@ -112,8 +112,10 @@ class Config:
             raise ValueError("vector_dimension must be positive")
         if self.index_metric not in ("L2", "IP"):
             raise ValueError("index_metric must be either 'L2' or 'IP'")
-        if self.index_dtype not in ("float32", "bfloat16"):
-            raise ValueError("index_dtype must be 'float32' or 'bfloat16'")
+        if self.index_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                "index_dtype must be 'float32', 'bfloat16' or 'int8'"
+            )
         if self.search_selector not in ("exact", "approx"):
             raise ValueError("search_selector must be 'exact' or 'approx'")
         if self.batch_size <= 0:

@@ -15,8 +15,10 @@ Differences by design:
   (``config.py:30``).
 - Search runs the fused chunked scan (ops/distance.py) or the Pallas kernel
   (ops/pallas_scan.py) — never materializing the (Q, N) distance matrix.
-- Storage dtype is float32 (rank-order parity with FAISS fp32 exact scan) or
-  bfloat16 (2x HBM capacity / bandwidth; fp32 accumulation retained).
+- Storage dtype is float32 (rank-order parity with FAISS fp32 exact scan),
+  bfloat16 (2x HBM capacity / bandwidth; fp32 accumulation retained), or
+  int8 (FAISS SQ8 analog: symmetric per-row quantization, int8 MXU matmul
+  with int32 accumulation, exact fp32 row norms — ops/quantize.py).
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ class FlatIndex:
         self.dim = int(dim)
         self.metric = metric
         self.dtype = jnp.dtype(dtype)
+        self.quantized = self.dtype == jnp.int8
         self.device = device if device is not None else jax.devices()[0]
         self.ntotal = 0
         self.selector = selector
@@ -69,6 +72,10 @@ class FlatIndex:
         )
         self._sq = jax.device_put(
             jnp.zeros((self._capacity,), jnp.float32), self.device
+        )
+        self._scales = (
+            jax.device_put(jnp.zeros((self._capacity,), jnp.float32), self.device)
+            if self.quantized else None
         )
 
     # ---------------------------------------------------------------- add
@@ -81,6 +88,8 @@ class FlatIndex:
         pad = new_cap - self._capacity
         self._buf = jnp.pad(self._buf, ((0, pad), (0, 0)))
         self._sq = jnp.pad(self._sq, (0, pad))
+        if self._scales is not None:
+            self._scales = jnp.pad(self._scales, (0, pad))
         self._capacity = new_cap
         logger.debug("grew flat index capacity to %d rows", new_cap)
 
@@ -93,11 +102,24 @@ class FlatIndex:
             raise ValueError(f"expected dim {self.dim}, got {vecs.shape[-1]}")
         n_new = vecs.shape[0]
         self._grow(self.ntotal + n_new)
-        vecs_dev = jax.device_put(vecs.astype(self.dtype), self.device)
-        sq_dev = dist_ops.sqnorms(vecs_dev)
-        self._buf = jax.lax.dynamic_update_slice(
-            self._buf, vecs_dev, (self.ntotal, 0)
-        )
+        if self.quantized:
+            from ..ops.quantize import quantize_rows
+
+            vecs_f = jax.device_put(vecs.astype(jnp.float32), self.device)
+            sq_dev = dist_ops.sqnorms(vecs_f)  # exact norms, pre-quantization
+            q_dev, scale_dev = quantize_rows(vecs_f)
+            self._buf = jax.lax.dynamic_update_slice(
+                self._buf, q_dev, (self.ntotal, 0)
+            )
+            self._scales = jax.lax.dynamic_update_slice(
+                self._scales, scale_dev, (self.ntotal,)
+            )
+        else:
+            vecs_dev = jax.device_put(vecs.astype(self.dtype), self.device)
+            sq_dev = dist_ops.sqnorms(vecs_dev)
+            self._buf = jax.lax.dynamic_update_slice(
+                self._buf, vecs_dev, (self.ntotal, 0)
+            )
         self._sq = jax.lax.dynamic_update_slice(self._sq, sq_dev, (self.ntotal,))
         self.ntotal += n_new
 
@@ -120,6 +142,18 @@ class FlatIndex:
             return (
                 jnp.full((nq, k), fill, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
+            )
+        if self.quantized:
+            from ..ops.quantize import int8_search, quantize_rows
+
+            qf = jax.device_put(q.astype(jnp.float32), self.device)
+            q_sq = dist_ops.sqnorms(qf)
+            q_i8, q_scale = quantize_rows(qf)
+            return int8_search(
+                q_i8, q_scale, q_sq, self._buf, self._scales, self._sq, k,
+                metric=self.metric, n_valid=jnp.int32(self.ntotal),
+                chunk_size=min(chunk_size, self._capacity),
+                selector=self.selector,
             )
         q = jax.device_put(q.astype(self.dtype), self.device)
         use_pallas = self._use_pallas
@@ -150,20 +184,32 @@ class FlatIndex:
         self.ntotal = 0
         self._buf = jnp.zeros_like(self._buf)
         self._sq = jnp.zeros_like(self._sq)
+        if self._scales is not None:
+            self._scales = jnp.zeros_like(self._scales)
 
     def vectors(self) -> np.ndarray:
-        """Host copy of the live rows (for serialization / re-training)."""
-        return np.asarray(self._buf[: self.ntotal])
+        """Host copy of the live rows (for serialization / re-training).
+        int8 indexes return the dequantized reconstruction."""
+        rows = self._buf[: self.ntotal]
+        if self.quantized:
+            from ..ops.quantize import dequantize
+
+            return np.asarray(dequantize(rows, self._scales[: self.ntotal]))
+        return np.asarray(rows)
 
     # ---------------------------------------------------------------- io
     def state_dict(self) -> dict:
-        return {
+        state = {
             "kind": "flat",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
-            "vectors": self.vectors(),
+            "vectors": np.asarray(self._buf[: self.ntotal]),
         }
+        if self.quantized:  # lossless reload: keep codes + scales + norms
+            state["scales"] = np.asarray(self._scales[: self.ntotal])
+            state["sqnorms"] = np.asarray(self._sq[: self.ntotal])
+        return state
 
     @classmethod
     def from_state_dict(cls, state: dict, **kwargs) -> "FlatIndex":
@@ -174,6 +220,21 @@ class FlatIndex:
             **kwargs,
         )
         vecs = state["vectors"]
-        if len(vecs):
+        if len(vecs) == 0:
+            return idx
+        if idx.quantized and "scales" in state:
+            n = len(vecs)
+            idx._grow(n)
+            idx._buf = jax.lax.dynamic_update_slice(
+                idx._buf, jnp.asarray(vecs, jnp.int8), (0, 0)
+            )
+            idx._scales = jax.lax.dynamic_update_slice(
+                idx._scales, jnp.asarray(state["scales"], jnp.float32), (0,)
+            )
+            idx._sq = jax.lax.dynamic_update_slice(
+                idx._sq, jnp.asarray(state["sqnorms"], jnp.float32), (0,)
+            )
+            idx.ntotal = n
+        else:
             idx.add(vecs)
         return idx

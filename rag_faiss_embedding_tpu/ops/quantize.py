@@ -1,0 +1,121 @@
+"""Int8 scalar quantization for the vector index (FAISS SQ8 analog).
+
+TPU rationale: the v5e MXU runs int8 matmuls at 2x bf16 throughput with
+int32 accumulation, and int8 storage packs 4x more corpus rows per GB of
+HBM than f32 (2x vs bf16) — the cheapest route toward the 1M-QPS/chip
+north star for the exact-ish tier.
+
+Scheme: symmetric per-row quantization. Each row r stores
+``int8 = round(127 * x / amax_r)`` plus its fp32 scale ``amax_r / 127``.
+Query rows are quantized the same way per batch. The L2 expansion uses the
+EXACT fp32 row norms (computed pre-quantization), so only the cross term
+``q . d`` carries quantization error:
+
+    ||q - d||^2  ≈  ||q||^2 - 2 * sq * sd * <q_i8, d_i8> + ||d||^2
+
+which keeps rank order tight (recall@10 ~= bf16's in practice) while the
+matmul runs fully int8 on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .distance import NEG_INF, merge_topk
+
+
+def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(int8 values, fp32 per-row scales). x: (N, D) float."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale[:, 0]
+
+
+def dequantize(q: jax.Array, scales: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * scales[:, None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk_size", "selector")
+)
+def int8_search(
+    q_i8: jax.Array,       # (Q, D) int8
+    q_scale: jax.Array,    # (Q,) f32
+    q_sq: jax.Array,       # (Q,) f32 exact query norms
+    db_i8: jax.Array,      # (N, D) int8
+    db_scale: jax.Array,   # (N,) f32
+    db_sq: jax.Array,      # (N,) f32 exact row norms
+    k: int,
+    *,
+    metric: str,
+    n_valid: jax.Array,
+    chunk_size: int,
+    selector: str = "exact",
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunked int8 scan with running top-k; same contract as exact_search."""
+    n, d = db_i8.shape
+    nq = q_i8.shape[0]
+    k_eff = min(k, n)
+
+    n_chunks = max(1, -(-n // chunk_size))
+    pad = n_chunks * chunk_size - n
+    if pad:
+        db_i8 = jnp.pad(db_i8, ((0, pad), (0, 0)))
+        db_scale = jnp.pad(db_scale, (0, pad))
+        db_sq = jnp.pad(db_sq, (0, pad))
+    db_c = db_i8.reshape(n_chunks, chunk_size, d)
+    sc_c = db_scale.reshape(n_chunks, chunk_size)
+    sq_c = db_sq.reshape(n_chunks, chunk_size)
+
+    init = (
+        jnp.full((nq, k_eff), NEG_INF, jnp.float32),
+        jnp.full((nq, k_eff), -1, jnp.int32),
+    )
+
+    def step(carry, inp):
+        best_v, best_i = carry
+        chunk, scales, sqs, start = inp
+        # int8 x int8 -> int32 on the MXU
+        dots_i32 = jnp.dot(q_i8, chunk.T, preferred_element_type=jnp.int32)
+        dots = dots_i32.astype(jnp.float32) * q_scale[:, None] * scales[None, :]
+        if metric == "L2":
+            scores = 2.0 * dots - sqs[None, :]
+        else:
+            scores = dots
+        gidx = start + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gidx < n_valid, scores, NEG_INF)
+        kc = min(k_eff, chunk_size)
+        if selector == "approx":
+            cv, cp = lax.approx_max_k(scores, kc, recall_target=0.99)
+            cp = cp.astype(jnp.int32)
+        else:
+            cv, cp = lax.top_k(scores, kc)
+        ci = jnp.take_along_axis(gidx, cp, axis=-1)
+        return merge_topk(best_v, best_i, cv, ci, k_eff), None
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
+    (best_v, best_i), _ = lax.scan(step, init, (db_c, sc_c, sq_c, starts))
+
+    valid = best_v > NEG_INF
+    best_i = jnp.where(valid, best_i, -1)
+    if metric == "L2":
+        dist = jnp.maximum(q_sq[:, None] - best_v, 0.0)
+        values = jnp.where(valid, dist, jnp.inf)
+    else:
+        values = jnp.where(valid, best_v, -jnp.inf)
+    if k_eff < k:
+        fill = jnp.inf if metric == "L2" else -jnp.inf
+        values = jnp.concatenate(
+            [values, jnp.full((nq, k - k_eff), fill, values.dtype)], axis=-1
+        )
+        best_i = jnp.concatenate(
+            [best_i, jnp.full((nq, k - k_eff), -1, jnp.int32)], axis=-1
+        )
+    return values, best_i

@@ -79,3 +79,65 @@ def test_vector_store_batch_search(rng):
     dists, ids = store.search(vecs[:4], k=2)
     assert len(ids) == 4
     assert [row[0] for row in ids] == [100, 101, 102, 103]
+
+
+def test_int8_index_recall_and_values(rng):
+    """SQ8 tier: near-exact recall, distances close to true values."""
+    from .test_distance import numpy_exact
+
+    db = rng.standard_normal((512, 64)).astype(np.float32)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    idx = FlatIndex(64, dtype="int8")
+    idx.add(db)
+    vals, ids = idx.search(q, 10)
+    ref_vals, ref_ids = numpy_exact(q, db, 10, "L2")
+    ids = np.asarray(ids)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(ids, ref_ids)
+    ])
+    assert recall >= 0.95, recall
+    # distances approximate the true ones within quantization error
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=0.05, atol=0.5)
+
+
+def test_int8_ip_metric(rng):
+    from .test_distance import numpy_exact
+
+    db = rng.standard_normal((256, 32)).astype(np.float32)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    idx = FlatIndex(32, metric="IP", dtype="int8")
+    idx.add(db)
+    _, ids = idx.search(q, 5)
+    _, ref_ids = numpy_exact(q, db, 5, "IP")
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(np.asarray(ids), ref_ids)
+    ])
+    assert recall >= 0.95
+
+
+def test_int8_persistence_lossless(rng, tmp_path):
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    db = rng.standard_normal((64, 16)).astype(np.float32)
+    store = VectorStore(dimension=16, dtype="int8",
+                        index_path=tmp_path / "q.idx")
+    store.add_vectors(db, list(range(64)))
+    d1, i1 = store.search(db[:4], k=3)
+    store.save_index()
+    loaded = VectorStore(dimension=16, index_path=tmp_path / "q.idx")
+    assert loaded.index.quantized
+    d2, i2 = loaded.search(db[:4], k=3)
+    assert i1 == i2
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_int8_streaming_add(rng):
+    idx = FlatIndex(16, dtype="int8")
+    db = rng.standard_normal((100, 16)).astype(np.float32)
+    idx.add(db[:60])
+    idx.add(db[60:])
+    vals, ids = idx.search(db[80], 1)
+    assert int(np.asarray(ids)[0, 0]) == 80
