@@ -12,12 +12,13 @@ protocol used here amortizes: REPS independent query batches run inside ONE
 jitted ``lax.scan`` whose only output is a checksum scalar; wall time minus a
 measured trivial-dispatch RTT, divided by REPS, is the per-batch latency.
 
-Selection paths compared (best wins, recall-gated):
-- exact:  chunked fused scan with ``lax.top_k`` per chunk (rank-exact)
-- approx: ``lax.approx_max_k`` per chunk (XLA's TPU PartialReduce ANN
-  selection, recall_target=0.99) + exact cross-chunk merge
-Both store the database bf16 with fp32 accumulation; recall@10 of the winner
-is validated against a float32 exact oracle and reported.
+Paths compared (best wins, recall-gated at 0.99 vs the fp32 exact oracle):
+- exact:       bf16 storage, chunked fused scan, ``lax.top_k`` (rank-exact)
+- approx:      bf16 storage, ``lax.approx_max_k`` per chunk (XLA's TPU
+               PartialReduce ANN selection, recall_target=0.99) + exact merge
+- int8_approx: SQ8 storage (per-row scales, exact fp32 norms), int8 MXU
+               matmul with int32 accumulation (2x bf16 throughput on v5e),
+               approx selection
 """
 
 from __future__ import annotations
@@ -43,12 +44,20 @@ def _scan_factory(variant: str):
     import jax.numpy as jnp
     from jax import lax
 
-    def batch_topk(q, db_c, sq_c, starts):
+    quantized = variant.startswith("int8")
+
+    def batch_topk(q, db_c, sq_c, starts, scale_c=None, q_scale=None):
         """One query batch over all chunks; returns (vals, idx) (Q, K)."""
         def step(carry, inp):
             bv, bi = carry
-            chunk, s, start = inp
-            dots = jnp.dot(q, chunk.T, preferred_element_type=jnp.float32)
+            if quantized:
+                chunk, s, start, scales = inp
+                dots_i32 = jnp.dot(q, chunk.T, preferred_element_type=jnp.int32)
+                dots = (dots_i32.astype(jnp.float32)
+                        * q_scale[:, None] * scales[None, :])
+            else:
+                chunk, s, start = inp
+                dots = jnp.dot(q, chunk.T, preferred_element_type=jnp.float32)
             scores = 2.0 * dots - s[None, :]
             if variant == "exact":
                 cv, cp = lax.top_k(scores, K)
@@ -64,8 +73,29 @@ def _scan_factory(variant: str):
             jnp.full((q.shape[0], K), -1e30, jnp.float32),
             jnp.full((q.shape[0], K), -1, jnp.int32),
         )
-        (bv, bi), _ = lax.scan(step, init, (db_c, sq_c, starts))
+        xs = (db_c, sq_c, starts) if not quantized else (
+            db_c, sq_c, starts, scale_c)
+        (bv, bi), _ = lax.scan(step, init, xs)
         return bv, bi
+
+    if quantized:
+        from rag_faiss_embedding_tpu.ops.quantize import quantize_rows
+
+        @jax.jit
+        def many(qstack, db_c, sq_c, starts, scale_c):
+            def body(acc, q):
+                q_i8, q_scale = quantize_rows(q)
+                bv, bi = batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale)
+                return acc + bv.sum() + bi.sum().astype(jnp.float32), None
+            acc, _ = lax.scan(body, jnp.float32(0.0), qstack)
+            return acc
+
+        @jax.jit
+        def single(q, db_c, sq_c, starts, scale_c):
+            q_i8, q_scale = quantize_rows(q)
+            return batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale)
+
+        return many, single
 
     @jax.jit
     def many(qstack, db_c, sq_c, starts):
@@ -87,7 +117,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
-    n_db = N_DB if platform == "tpu" else 131072  # CPU fallback for dev runs
+    # CPU fallback scales for dev runs (numbers only meaningful on TPU)
+    global REPS, Q_BATCH
+    if platform != "tpu":
+        n_db, REPS, Q_BATCH = 131072, 2, 256
+    else:
+        n_db = N_DB
     n_chunks = n_db // CHUNK
 
     # Generate data ON DEVICE: shipping ~768MB through the axon tunnel takes
@@ -110,18 +145,30 @@ def main() -> None:
 
     import os
 
-    variants = ("approx",) if os.environ.get("RFE_BENCH_FAST") else (
-        "approx", "exact")
+    # SQ8 arrays (derived on device from the same f32 data)
+    from rag_faiss_embedding_tpu.ops.quantize import quantize_rows
+
+    db_i8_flat, db_scales = jax.jit(quantize_rows)(db_c32.reshape(n_db, DIM))
+    db_i8_c = db_i8_flat.reshape(n_chunks, CHUNK, DIM)
+    scale_c = db_scales.reshape(n_chunks, CHUNK)
+    jax.block_until_ready((db_i8_c, scale_c))
+
+    variants = ("approx", "int8_approx") if os.environ.get("RFE_BENCH_FAST") else (
+        "approx", "int8_approx", "exact")
     results = {}
     singles = {}
     for variant in variants:
         many, single = _scan_factory(variant)
-        float(many(qstack, db_c, sq_c, starts))  # compile + warm
+        if variant.startswith("int8"):
+            args = (qstack, db_i8_c, sq_c, starts, scale_c)
+        else:
+            args = (qstack, db_c, sq_c, starts)
+        float(many(*args))  # compile + warm
         t0 = time.perf_counter()
         float(trivial(sq_c))
         rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(many(qstack, db_c, sq_c, starts))
+        float(many(*args))
         total = time.perf_counter() - t0
         per_batch = max((total - rtt) / REPS, 1e-9)
         results[variant] = {
@@ -143,9 +190,14 @@ def main() -> None:
 
     recalls = {}
     for variant, single in singles.items():
-        _, pred = single(
-            qstack[0][:RECALL_QUERIES], db_c, sq_c, starts,
-        )
+        if variant.startswith("int8"):
+            _, pred = single(
+                qstack32[0][:RECALL_QUERIES], db_i8_c, sq_c, starts, scale_c
+            )
+        else:
+            _, pred = single(
+                qstack[0][:RECALL_QUERIES], db_c, sq_c, starts,
+            )
         pred = np.asarray(pred)
         hits = sum(
             len(set(p.tolist()) & set(t.tolist()))
