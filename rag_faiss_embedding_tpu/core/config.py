@@ -57,6 +57,9 @@ class Config:
     index_path: Path = None  # type: ignore[assignment]
     index_dtype: str = "float32"  # "float32" (FAISS-exact), "bfloat16", "int8"
     search_selector: str = "exact"  # "exact" (top_k) or "approx" (approx_max_k)
+    index_kind: str = "flat"  # "flat" (exact) or "ivf" (ANN tier)
+    ivf_nlist: int = 1024
+    ivf_nprobe: int = 8
 
     # Search (reference config.py:33-34)
     top_k: int = 5
@@ -118,6 +121,10 @@ class Config:
             )
         if self.search_selector not in ("exact", "approx"):
             raise ValueError("search_selector must be 'exact' or 'approx'")
+        if self.index_kind not in ("flat", "ivf"):
+            raise ValueError("index_kind must be 'flat' or 'ivf'")
+        if self.ivf_nlist <= 0 or self.ivf_nprobe <= 0:
+            raise ValueError("ivf_nlist and ivf_nprobe must be positive")
         if self.batch_size <= 0:
             raise ValueError("batch_size must be positive")
         if self.top_k <= 0:

@@ -38,7 +38,7 @@ class RAGManager:
         self,
         config: Optional[Config] = None,
         embedder: Optional[EmbeddingPipeline] = None,
-        index_kind: str = "flat",
+        index_kind: Optional[str] = None,
     ):
         self.config = config or Config.from_env()
         self.config.setup_directories()
@@ -51,14 +51,27 @@ class RAGManager:
             params_path=self.config.data_dir / "encoder_params.npz",
             normalize=self.config.index_metric == "IP",
         )
-        self.index_kind = index_kind
+        self.index_kind = index_kind or self.config.index_kind
         # the index dimension is always the encoder's output width
+        dim = self.embedder.cfg.hidden_size
+        index = None
+        if self.index_kind == "ivf":
+            from ..index.ivf import IVFFlatIndex
+
+            index = IVFFlatIndex(
+                dim,
+                nlist=self.config.ivf_nlist,
+                nprobe=self.config.ivf_nprobe,
+                metric=self.config.index_metric,
+                dtype=self.config.index_dtype,
+            )
         self.vector_store = VectorStore(
-            dimension=self.embedder.cfg.hidden_size,
+            dimension=dim,
             metric=self.config.index_metric,
             index_path=self.config.index_path,
             dtype=self.config.index_dtype,
             selector=self.config.search_selector,
+            index=index,
         )
 
     # ------------------------------------------------------------- loading

@@ -124,3 +124,18 @@ def test_batch_validate_and_run(tmp_path):
     validated = v.run(show_summary=False)
     assert len(validated) == 1
     assert json.loads(out.read_text()) == validated
+
+
+def test_index_entry_counter_thread_safe():
+    """The reference's id counter races under ThreadPoolExecutor
+    (process_unstructured_html.py:42-46,276-280); ours must not."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    IndexEntry.reset_counter()
+
+    def make(i):
+        return IndexEntry(url=f"u{i}", title=f"t{i}", content="c").id
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        ids = list(ex.map(make, range(500)))
+    assert sorted(ids) == list(range(1, 501))  # no duplicates, no gaps

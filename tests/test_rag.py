@@ -132,3 +132,22 @@ def test_generator_prompt_template():
     prompt = gen.build_prompt("why?", "Document 1: because")
     assert prompt.startswith("Based on the following documents")
     assert prompt.endswith("Answer:")
+
+
+def test_manager_ivf_index_kind(tmp_path, embedder):
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    cfg = Config(base_dir=tmp_path, vector_dimension=32,
+                 index_kind="ivf", ivf_nlist=2, ivf_nprobe=2)
+    (tmp_path / "data").mkdir(exist_ok=True)
+    (tmp_path / "data" / "documents.json").write_text(json.dumps(DOCS))
+    m = RAGManager(config=cfg, embedder=embedder)
+    assert isinstance(m.vector_store.index, IVFFlatIndex)
+    assert m.initialize_database() == 3
+    results = m.search_similar_documents(DOCS[0]["content"], k=2)
+    assert results[0]["id"] == 9
+    # persisted as kind=ivf and reloads as IVF
+    m2 = RAGManager(config=cfg, embedder=embedder)
+    m2.load_indices()
+    assert isinstance(m2.vector_store.index, IVFFlatIndex)
+    assert m2.search_similar_documents(DOCS[1]["content"], k=1)[0]["id"] == 4
