@@ -99,6 +99,9 @@ class IVFFlatIndex:
         if metric != "L2":
             # IP-IVF needs spherical k-means; deferred — flat tier covers IP.
             raise ValueError("IVFFlatIndex currently supports metric='L2' only")
+        if jnp.dtype(dtype) == jnp.int8:
+            # SQ8 lives in the flat tier; IVF+SQ8 needs scale-aware probes.
+            raise ValueError("IVFFlatIndex supports float32/bfloat16 storage")
         self.dim = int(dim)
         self.nlist = int(nlist)
         self.metric = metric
