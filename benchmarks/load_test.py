@@ -54,6 +54,7 @@ async def run_inprocess(small: bool, concurrency: int, total: int) -> dict:
     from rag_faiss_embedding_tpu.serve.api import make_app
     from rag_faiss_embedding_tpu.store import Database
 
+    import os
     import tempfile
 
     if small:
@@ -74,6 +75,7 @@ async def run_inprocess(small: bool, concurrency: int, total: int) -> dict:
     # NB: ":memory:" sqlite is per-connection; the store opens a connection
     # per thread, so an in-memory db would be empty inside the batcher thread
     db_file = tempfile.NamedTemporaryFile(suffix=".db", delete=False)
+    db_file.close()
     db = Database(db_file.name)
     ids = db.insert_documents(
         [{"url": f"https://x/{i}", "title": f"{i}", "content": c}
@@ -102,6 +104,12 @@ async def run_inprocess(small: bool, concurrency: int, total: int) -> dict:
         return await _drive(post, queries, concurrency, total)
     finally:
         await client.close()
+        db.close()
+        for suffix in ("", "-wal", "-shm"):
+            try:
+                os.unlink(db_file.name + suffix)
+            except OSError:
+                pass
 
 
 async def run_remote(url: str, concurrency: int, total: int) -> dict:

@@ -40,12 +40,13 @@ def _enable_compilation_cache() -> None:
     TPU compile per shape. Opt out with RFE_NO_COMPILE_CACHE=1."""
     if _os.environ.get("RFE_NO_COMPILE_CACHE"):
         return
-    # Only worth it (and only safe) on a real TPU platform: the experimental
-    # 'axon' tunnel deadlocks inside the persistent cache (threads futex-wait
-    # on first compile), and XLA:CPU AOT reload warns about machine-feature
-    # mismatches while CPU compiles are cheap anyway.
+    # Denylist, not allowlist: a real TPU VM usually leaves JAX_PLATFORMS
+    # unset (auto-detect) and must still get the cache. Excluded: the
+    # experimental 'axon' tunnel (deadlocks inside the persistent cache —
+    # threads futex-wait on first compile) and pure-CPU (AOT reload warns
+    # about machine-feature mismatches and CPU compiles are cheap anyway).
     platforms = _os.environ.get("JAX_PLATFORMS", "")
-    if platforms != "tpu":
+    if "axon" in platforms or platforms.strip() == "cpu":
         return
     try:
         import jax

@@ -39,8 +39,7 @@ from .flat import FlatIndex, _round_up
 logger = get_logger(__name__)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window"))
-def _probe_scan(
+def probe_scan_math(
     q,            # (Q, D) f32
     sorted_vecs,  # (Npad, D)
     sorted_sq,    # (Npad,)
@@ -51,6 +50,8 @@ def _probe_scan(
     k: int,
     window: int,  # C
 ):
+    """Fixed-window masked probe scan (shared by the single-chip tier and
+    parallel/sharded_ivf's per-device kernel — keep ONE implementation)."""
     nq, d = q.shape
     p = probe_lists.shape[1]
     starts = offsets[probe_lists]                       # (Q, P)
@@ -80,6 +81,11 @@ def _probe_scan(
     out_dist = -best
     out_ids = jnp.where(jnp.isinf(out_dist), -1, out_ids)
     return out_dist, out_ids
+
+
+_probe_scan = functools.partial(
+    jax.jit, static_argnames=("k", "window")
+)(probe_scan_math)
 
 
 class IVFFlatIndex:

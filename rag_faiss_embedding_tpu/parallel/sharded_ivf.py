@@ -32,43 +32,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.logging import get_logger
 from ..index.flat import _round_up
+from ..index.ivf import probe_scan_math
 from ..ops import distance as dist_ops
 from ..ops.kmeans import train_kmeans
 
 logger = get_logger(__name__)
 
 
-def _local_probe_scan(q, vecs, sq, ids, offsets, lengths, probe_lists,
-                      k: int, window: int):
-    """Single-device probe scan (mirrors index/ivf._probe_scan math)."""
-    nq = q.shape[0]
-    p = probe_lists.shape[1]
-    starts = offsets[probe_lists]
-    lens = lengths[probe_lists]
-    slot = jnp.arange(window, dtype=jnp.int32)
-    idx = starts[:, :, None] + slot[None, None, :]
-    valid = slot[None, None, :] < lens[:, :, None]
-    idx = jnp.where(valid, idx, 0)
-    gathered = vecs[idx]                                  # (Q, P, C, D)
-    gsq = sq[idx]
-    gids = jnp.where(valid, ids[idx], -1)
-    dots = jnp.einsum("qd,qpcd->qpc", q.astype(jnp.float32),
-                      gathered.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
-    q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)
-    dist = q_sq[:, None, None] - 2.0 * dots + gsq
-    dist = jnp.where(valid, jnp.maximum(dist, 0.0), jnp.inf)
-    flat_d = dist.reshape(nq, p * window)
-    flat_i = gids.reshape(nq, p * window)
-    k_eff = min(k, p * window)
-    best, pos = jax.lax.top_k(-flat_d, k_eff)
-    return -best, jnp.take_along_axis(flat_i, pos, axis=1)
-
-
 @functools.lru_cache(maxsize=64)
 def _build_sharded_probe(mesh: Mesh, k: int, window: int, db_axis: str):
     def kernel(q, vecs, sq, ids, offsets, lengths, probes):
-        vals, gids = _local_probe_scan(
+        vals, gids = probe_scan_math(
             q, vecs[0], sq[0], ids[0], offsets[0], lengths[0], probes,
             k=k, window=window,
         )
@@ -110,6 +84,9 @@ class ShardedIVFIndex:
     ):
         if metric != "L2":
             raise ValueError("ShardedIVFIndex currently supports metric='L2' only")
+        if jnp.dtype(dtype) == jnp.int8:
+            # a bare cast would truncate unit-scale floats to zeros
+            raise ValueError("ShardedIVFIndex supports float32/bfloat16 storage")
         self.dim = int(dim)
         self.mesh = mesh
         self.nlist = int(nlist)

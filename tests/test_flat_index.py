@@ -141,3 +141,17 @@ def test_int8_streaming_add(rng):
     idx.add(db[60:])
     vals, ids = idx.search(db[80], 1)
     assert int(np.asarray(ids)[0, 0]) == 80
+
+
+def test_int8_edge_cases(rng):
+    """k > ntotal and empty index for the SQ8 tier (CLAUDE.md edge rule)."""
+    idx = FlatIndex(8, dtype="int8")
+    vals, ids = idx.search(rng.standard_normal((2, 8)).astype(np.float32), 3)
+    assert (np.asarray(ids) == -1).all()
+    idx.add(rng.standard_normal((4, 8)).astype(np.float32))
+    vals, ids = idx.search(rng.standard_normal((2, 8)).astype(np.float32), 10)
+    ids = np.asarray(ids)
+    assert ids.shape == (2, 10)
+    assert (ids[:, 4:] == -1).all()
+    assert np.isinf(np.asarray(vals)[:, 4:]).all()
+    assert set(ids[0, :4]) == {0, 1, 2, 3}
