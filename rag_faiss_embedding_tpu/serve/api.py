@@ -126,8 +126,12 @@ def _service_key():
     return _SERVICE_KEY
 
 
-def make_app(engine, config: Optional[Config] = None):
-    """Build the aiohttp application."""
+def make_app(engine, config: Optional[Config] = None, manager=None):
+    """Build the aiohttp application.
+
+    ``manager`` (a RAGManager) enables POST /documents — streaming adds into
+    the live index (BASELINE.md config #5) — and index persistence.
+    """
     from aiohttp import web
 
     cfg = config or Config.from_env()
@@ -209,10 +213,38 @@ def make_app(engine, config: Optional[Config] = None):
     async def stats(request):
         return web.json_response(service.timer.summary())
 
+    async def add_documents(request):
+        if manager is None:
+            return web.json_response(
+                {"detail": "document ingestion not enabled"}, status=501
+            )
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"detail": "invalid JSON body"}, status=400)
+        documents = body.get("documents")
+        if not isinstance(documents, list) or not documents:
+            return web.json_response(
+                {"detail": "'documents' must be a non-empty list"}, status=422
+            )
+        for doc in documents:
+            if not isinstance(doc, dict) or "url" not in doc or "content" not in doc:
+                return web.json_response(
+                    {"detail": "each document needs 'url' and 'content'"},
+                    status=422,
+                )
+        n = await asyncio.to_thread(manager.add_documents, documents)
+        if body.get("persist", False):
+            await asyncio.to_thread(manager.vector_store.save_index)
+        return web.json_response(
+            {"added": n, "vectors": engine.vector_store.ntotal}
+        )
+
     app = web.Application()
     app.router.add_get("/health", health)
     app.router.add_post("/search", search)
     app.router.add_get("/stats", stats)
+    app.router.add_post("/documents", add_documents)
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)
     app[_service_key()] = service
@@ -242,7 +274,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         generator=AnswerGenerator(model_name=cfg.generator_model),
         context_token_budget=cfg.context_token_budget,
     )
-    app = make_app(engine, cfg)
+    app = make_app(engine, cfg, manager=manager)
     host = args.host or cfg.api_host
     port = args.port or cfg.api_port
     logger.info("starting API server on %s:%d", host, port)

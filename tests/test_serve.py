@@ -150,3 +150,51 @@ def test_watchdog_reports_health(engine):
     ok, broken = asyncio.run(run())
     assert ok == (200, "healthy")
     assert broken == (503, "unhealthy")
+
+
+def test_add_documents_endpoint(tmp_path_factory):
+    """Streaming adds over HTTP: new docs are searchable immediately."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rag_faiss_embedding_tpu.core import Config
+    from rag_faiss_embedding_tpu.rag import RAGManager
+
+    tmp = tmp_path_factory.mktemp("serve_add")
+    embedder = EmbeddingPipeline(model_name="offline-test", cfg=SMALL,
+                                 max_seq_length=64)
+    embedder.fit_tokenizer([d["content"] for d in DOCS], vocab_size=300)
+    cfg = Config(base_dir=tmp, vector_dimension=32, serve_watchdog_interval_s=0)
+    manager = RAGManager(config=cfg, embedder=embedder)
+    manager.initialize_database(DOCS)
+    eng = QueryEngine(manager.db, manager.vector_store, manager.embedder,
+                      generator=AnswerGenerator(backend="extractive"))
+
+    async def run():
+        app = make_app(eng, cfg, manager=manager)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            new_doc = {"id": 77, "url": "https://ex/new", "title": "new.html",
+                       "content": "pallas kernels tile vector memory"}
+            r = await client.post("/documents", json={"documents": [new_doc]})
+            added = await r.json()
+            r2 = await client.post("/search", json={
+                "text": new_doc["content"], "top_k": 1, "generate": False})
+            hit = (await r2.json())["similar_documents"][0]["id"]
+            r3 = await client.post("/documents", json={"documents": []})
+            r4 = await client.post("/documents", json={"documents": [{"x": 1}]})
+            return r.status, added, hit, r3.status, r4.status
+        finally:
+            await client.close()
+
+    status, added, hit, bad1, bad2 = asyncio.run(run())
+    assert status == 200 and added["added"] == 1 and added["vectors"] == 4
+    assert hit == 77
+    assert bad1 == 422 and bad2 == 422
+
+
+def test_add_documents_disabled_without_manager(engine):
+    [(status, body)] = _client_call(
+        engine, [("POST", "/documents", {"documents": [{"url": "u", "content": "c"}]})]
+    )
+    assert status == 501
