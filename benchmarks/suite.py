@@ -24,14 +24,28 @@ import numpy as np
 
 
 def _bench(fn, *args, iters=8, warmup=2):
+    """Per-call timing with forced host materialization.
+
+    NOTE: through the axon tunnel this measures latency INCLUDING the
+    30-90ms device->host RTT (block_until_ready alone under-reports; a
+    host fetch over-reports) — treat suite numbers as serving-latency upper
+    bounds. bench.py's amortized protocol is the authoritative kernel QPS.
+    """
     import jax
+    import numpy as np
+
+    def run():
+        out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf)  # force completion through the tunnel
+        return out
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        run()
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        run()
         times.append(time.perf_counter() - t0)
     times.sort()
     return {
