@@ -19,6 +19,9 @@ Paths compared (best wins, recall-gated at 0.99 vs the fp32 exact oracle):
 - int8_approx: SQ8 storage (per-row scales, exact fp32 norms), int8 MXU
                matmul with int32 accumulation (2x bf16 throughput on v5e),
                approx selection
+- int8_rerank: two-stage — int8 scan retrieves 4K candidates, then an exact
+               bf16 rerank over just those rows recovers the recall the
+               quantized cross-term loses (classic retrieve-then-rerank)
 """
 
 from __future__ import annotations
@@ -46,8 +49,9 @@ def _scan_factory(variant: str):
 
     quantized = variant.startswith("int8")
 
-    def batch_topk(q, db_c, sq_c, starts, scale_c=None, q_scale=None):
-        """One query batch over all chunks; returns (vals, idx) (Q, K)."""
+    def batch_topk(q, db_c, sq_c, starts, scale_c=None, q_scale=None,
+                   k_sel=K):
+        """One query batch over all chunks; returns (vals, idx) (Q, k_sel)."""
         def step(carry, inp):
             bv, bi = carry
             if quantized:
@@ -60,18 +64,18 @@ def _scan_factory(variant: str):
                 dots = jnp.dot(q, chunk.T, preferred_element_type=jnp.float32)
             scores = 2.0 * dots - s[None, :]
             if variant == "exact":
-                cv, cp = lax.top_k(scores, K)
+                cv, cp = lax.top_k(scores, k_sel)
             else:
-                cv, cp = lax.approx_max_k(scores, K, recall_target=0.99)
+                cv, cp = lax.approx_max_k(scores, k_sel, recall_target=0.99)
             ci = cp.astype(jnp.int32) + start
             v = jnp.concatenate([bv, cv], axis=1)
             i = jnp.concatenate([bi, ci], axis=1)
-            nv, pos = lax.top_k(v, K)
+            nv, pos = lax.top_k(v, k_sel)
             return (nv, jnp.take_along_axis(i, pos, axis=1)), None
 
         init = (
-            jnp.full((q.shape[0], K), -1e30, jnp.float32),
-            jnp.full((q.shape[0], K), -1, jnp.int32),
+            jnp.full((q.shape[0], k_sel), -1e30, jnp.float32),
+            jnp.full((q.shape[0], k_sel), -1, jnp.int32),
         )
         xs = (db_c, sq_c, starts) if not quantized else (
             db_c, sq_c, starts, scale_c)
@@ -81,19 +85,39 @@ def _scan_factory(variant: str):
     if quantized:
         from rag_faiss_embedding_tpu.ops.quantize import quantize_rows
 
+        rerank = variant.endswith("rerank")
+        k1 = 4 * K if rerank else K
+
+        def run_one(q_bf16, db_c, sq_c, starts, scale_c, db_flat16):
+            q_i8, q_scale = quantize_rows(q_bf16)
+            bv, bi = batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale,
+                                k_sel=k1)
+            if not rerank:
+                return bv, bi
+            # exact bf16 rerank over the k1 candidates
+            safe = jnp.maximum(bi, 0)
+            cand = db_flat16[safe]                      # (Q, k1, D) gather
+            cand_sq = sq_c.reshape(-1)[safe]
+            qf = q_bf16.astype(jnp.float32)
+            dots = jnp.einsum(
+                "qd,qkd->qk", q_bf16, cand, preferred_element_type=jnp.float32
+            )
+            scores = 2.0 * dots - cand_sq
+            scores = jnp.where(bi >= 0, scores, -1e30)
+            nv2, pos = lax.top_k(scores, K)
+            return nv2, jnp.take_along_axis(bi, pos, axis=1)
+
         @jax.jit
-        def many(qstack, db_c, sq_c, starts, scale_c):
+        def many(qstack, db_c, sq_c, starts, scale_c, db_flat16):
             def body(acc, q):
-                q_i8, q_scale = quantize_rows(q)
-                bv, bi = batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale)
+                bv, bi = run_one(q, db_c, sq_c, starts, scale_c, db_flat16)
                 return acc + bv.sum() + bi.sum().astype(jnp.float32), None
             acc, _ = lax.scan(body, jnp.float32(0.0), qstack)
             return acc
 
         @jax.jit
-        def single(q, db_c, sq_c, starts, scale_c):
-            q_i8, q_scale = quantize_rows(q)
-            return batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale)
+        def single(q, db_c, sq_c, starts, scale_c, db_flat16):
+            return run_one(q, db_c, sq_c, starts, scale_c, db_flat16)
 
         return many, single
 
@@ -153,15 +177,16 @@ def main() -> None:
     scale_c = db_scales.reshape(n_chunks, CHUNK)
     jax.block_until_ready((db_i8_c, scale_c))
 
-    variants = ("approx", "int8_approx") if os.environ.get("RFE_BENCH_FAST") else (
-        "approx", "int8_approx", "exact")
+    db_flat16 = db_c.reshape(n_db, DIM)
+    variants = ("approx", "int8_rerank") if os.environ.get("RFE_BENCH_FAST") else (
+        "approx", "int8_approx", "int8_rerank", "exact")
     results = {}
     singles = {}
     for variant in variants:
         try:
             many, single = _scan_factory(variant)
             if variant.startswith("int8"):
-                args = (qstack, db_i8_c, sq_c, starts, scale_c)
+                args = (qstack, db_i8_c, sq_c, starts, scale_c, db_flat16)
             else:
                 args = (qstack, db_c, sq_c, starts)
             float(many(*args))  # compile + warm
@@ -198,7 +223,8 @@ def main() -> None:
         try:
             if variant.startswith("int8"):
                 _, pred = single(
-                    qstack32[0][:RECALL_QUERIES], db_i8_c, sq_c, starts, scale_c
+                    qstack[0][:RECALL_QUERIES], db_i8_c, sq_c, starts,
+                    scale_c, db_flat16,
                 )
             else:
                 _, pred = single(
