@@ -40,28 +40,31 @@ def main() -> None:
     float(trivial(sq))
 
     def make(variant):
+        # NB: the database MUST be a function argument, not a closure — a
+        # closed-over concrete array becomes an HLO constant and the tunnel's
+        # remote-compile endpoint rejects the ~GB payload (HTTP 413).
         if variant.startswith("pallas"):
             mode = "approx" if variant.endswith("approx") else "exact"
 
-            def one(q):
+            def one(q, db_a, sq_a):
                 return pallas_scan._flat_search_impl(
-                    q, db, sq, nv, k=K, metric="L2",
+                    q, db_a, sq_a, nv, k=K, metric="L2",
                     tile_q=TILE_Q, tile_n=TILE_N, interpret=False, mode=mode,
                     group=64,
                 )
         else:
             selector = "approx" if variant.endswith("approx") else "exact"
 
-            def one(q):
+            def one(q, db_a, sq_a):
                 return dist_ops._exact_search_impl(
-                    q, db, K, metric="L2", db_sq=sq, n_valid=nv,
+                    q, db_a, K, metric="L2", db_sq=sq_a, n_valid=nv,
                     chunk_size=131072, selector=selector,
                 )
 
         @jax.jit
-        def many(qs):
+        def many(qs, db_a, sq_a):
             def body(acc, q):
-                v, i = one(q)
+                v, i = one(q, db_a, sq_a)
                 return acc + v.sum() + i.sum().astype(jnp.float32), None
             acc, _ = lax.scan(body, jnp.float32(0), qs)
             return acc
@@ -72,13 +75,13 @@ def main() -> None:
         try:
             many = make(variant)
             t0 = time.perf_counter()
-            float(many(qstack))
+            float(many(qstack, db, sq))
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(trivial(sq))
             rtt = time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(many(qstack))
+            float(many(qstack, db, sq))
             total = time.perf_counter() - t0
             per = max((total - rtt) / REPS, 1e-9)
             print(json.dumps({

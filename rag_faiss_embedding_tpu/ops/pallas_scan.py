@@ -45,13 +45,19 @@ def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
 
 
-def _monotone_u32(scores):
-    """Order-preserving f32 -> uint32 map (negatives flip all bits)."""
-    bits = pltpu.bitcast(scores, jnp.uint32)
-    mask = jnp.where(
-        scores < 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000)
-    )
-    return bits ^ mask
+def _monotone_i32(scores):
+    """Order-preserving f32 -> int32 map.
+
+    Standard sortable-float trick lands in uint32; Mosaic has no unsigned
+    reductions on TPU, so the top bit is flipped once more to translate the
+    unsigned order into signed int32 order (u ^ 0x80000000 as int32).
+    Net effect: negatives get all-but-top bits flipped, positives pass
+    through — i.e. int32 max == f32 max.
+    """
+    bits = pltpu.bitcast(scores, jnp.int32)
+    # negatives: flip all magnitude bits (keeps sign bit -> stays below all
+    # positives, reverses the descending magnitude order); positives: as-is
+    return jnp.where(bits < 0, bits ^ jnp.int32(0x7FFFFFFF), bits)
 
 
 def _group_top1(scores, start, group: int = 128):
@@ -67,14 +73,14 @@ def _group_top1(scores, start, group: int = 128):
     q, t = scores.shape
     g = t // group
     # local column id within the group, inverted so lower idx wins ties
-    col = jax.lax.broadcasted_iota(jnp.uint32, (q, t), 1) % jnp.uint32(group)
-    packed = (_monotone_u32(scores) & jnp.uint32(0xFFFFFF80)) | (
-        jnp.uint32(group - 1) - col
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, t), 1) % jnp.int32(group)
+    packed = (_monotone_i32(scores) & jnp.int32(~(group - 1))) | (
+        jnp.int32(group - 1) - col
     )
     win = jnp.max(packed.reshape(q, g, group), axis=2)    # (Q, G)
-    local = jnp.uint32(group - 1) - (win & jnp.uint32(group - 1))
+    local = jnp.int32(group - 1) - (win & jnp.int32(group - 1))
     base = jax.lax.broadcasted_iota(jnp.int32, (q, g), 1) * group
-    idx = start + base + local.astype(jnp.int32)          # global row ids
+    idx = start + base + local                            # global row ids
     vals = jnp.max(scores.reshape(q, g, group), axis=2)   # exact f32 values
     return vals, idx
 
