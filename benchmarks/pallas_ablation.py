@@ -50,7 +50,7 @@ def main() -> None:
                 return pallas_scan._flat_search_impl(
                     q, db_a, sq_a, nv, k=K, metric="L2",
                     tile_q=TILE_Q, tile_n=TILE_N, interpret=False, mode=mode,
-                    group=64,
+                    group=128,
                 )
         else:
             selector = "approx" if variant.endswith("approx") else "exact"

@@ -158,9 +158,12 @@ class FlatIndex:
         q = jax.device_put(q.astype(self.dtype), self.device)
         use_pallas = self._use_pallas
         if use_pallas is None:
-            # default to the XLA scan: measured faster than the current
-            # pallas kernel on-chip, and approx selection rides it
-            use_pallas = False
+            # measured on-chip (docs/PERF.md): for exact selection the fused
+            # pallas kernel is ~2x the lax scan (42.7k vs 20.3k QPS @ 1M);
+            # for approx selection XLA's approx_max_k wins by far (174.6k)
+            use_pallas = (
+                self.device.platform == "tpu" and self.selector == "exact"
+            )
         if use_pallas:
             try:
                 from ..ops import pallas_scan
