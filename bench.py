@@ -19,9 +19,11 @@ Paths compared (best wins, recall-gated at 0.99 vs the fp32 exact oracle):
 - int8_approx: SQ8 storage (per-row scales, exact fp32 norms), int8 MXU
                matmul with int32 accumulation (2x bf16 throughput on v5e),
                approx selection
-- int8_rerank: two-stage — int8 scan retrieves 4K candidates, then an exact
-               bf16 rerank over just those rows recovers the recall the
-               quantized cross-term loses (classic retrieve-then-rerank)
+- int8_rerank: two-stage — the int8 scan keeps its cheap per-chunk top-K
+               selection but skips the cross-chunk merge, collecting all
+               n_chunks*K candidates; an exact bf16 rerank over those rows
+               (a tiny gather + matmul) restores the recall the quantized
+               cross-term loses (classic retrieve-then-rerank)
 """
 
 from __future__ import annotations
@@ -82,28 +84,41 @@ def _scan_factory(variant: str):
         (bv, bi), _ = lax.scan(step, init, xs)
         return bv, bi
 
+    def batch_candidates(q, db_c, sq_c, starts, scale_c, q_scale):
+        """Per-chunk top-K WITHOUT cross-chunk merge: (Q, n_chunks*K) ids.
+
+        The merge is what forces k_sel-wide selection per chunk; collecting
+        candidates instead keeps selection at K and defers ranking to the
+        exact rerank stage."""
+        def step(_, inp):
+            chunk, s, start, scales = inp
+            dots_i32 = jnp.dot(q, chunk.T, preferred_element_type=jnp.int32)
+            dots = (dots_i32.astype(jnp.float32)
+                    * q_scale[:, None] * scales[None, :])
+            scores = 2.0 * dots - s[None, :]
+            cv, cp = lax.approx_max_k(scores, 2 * K, recall_target=0.99)
+            return None, cp.astype(jnp.int32) + start
+
+        _, ids = lax.scan(step, None, (db_c, sq_c, starts, scale_c))
+        return jnp.transpose(ids, (1, 0, 2)).reshape(q.shape[0], -1)
+
     if quantized:
         from rag_faiss_embedding_tpu.ops.quantize import quantize_rows
 
         rerank = variant.endswith("rerank")
-        k1 = 4 * K if rerank else K
 
         def run_one(q_bf16, db_c, sq_c, starts, scale_c, db_flat16):
             q_i8, q_scale = quantize_rows(q_bf16)
-            bv, bi = batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale,
-                                k_sel=k1)
             if not rerank:
-                return bv, bi
-            # exact bf16 rerank over the k1 candidates
-            safe = jnp.maximum(bi, 0)
-            cand = db_flat16[safe]                      # (Q, k1, D) gather
-            cand_sq = sq_c.reshape(-1)[safe]
-            qf = q_bf16.astype(jnp.float32)
+                return batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale)
+            bi = batch_candidates(q_i8, db_c, sq_c, starts, scale_c, q_scale)
+            # exact bf16 rerank over the (Q, n_chunks*K) candidates
+            cand = db_flat16[bi]                        # gather
+            cand_sq = sq_c.reshape(-1)[bi]
             dots = jnp.einsum(
                 "qd,qkd->qk", q_bf16, cand, preferred_element_type=jnp.float32
             )
             scores = 2.0 * dots - cand_sq
-            scores = jnp.where(bi >= 0, scores, -1e30)
             nv2, pos = lax.top_k(scores, K)
             return nv2, jnp.take_along_axis(bi, pos, axis=1)
 
