@@ -33,7 +33,7 @@ import numpy as np
 
 from ..core.logging import get_logger
 from ..ops import distance as dist_ops
-from ..ops.kmeans import train_kmeans
+from ..ops.kmeans import assign as kmeans_assign, train_kmeans
 from .flat import FlatIndex, _round_up
 
 logger = get_logger(__name__)
@@ -157,11 +157,10 @@ class IVFFlatIndex:
             row_ids = np.arange(n, dtype=np.int32)
         if not self.is_trained:
             self.train(vecs)
-        _, assign_idx = dist_ops.exact_search(
-            vecs, self.centroids, 1, metric="L2",
-            chunk_size=min(65536, self.nlist),
-        )
-        assignments = np.asarray(assign_idx[:, 0])
+        # point-chunked assignment: a full (N, nlist) score matrix is 16 GB
+        # at 1M x 4096
+        assign_idx, _ = kmeans_assign(vecs, self.centroids)
+        assignments = np.asarray(assign_idx)
         order = np.argsort(assignments, kind="stable")
         sorted_assign = assignments[order]
         lengths = np.bincount(sorted_assign, minlength=self.nlist).astype(np.int32)

@@ -30,22 +30,34 @@ logger = get_logger(__name__)
 
 
 def assign(
-    x: jax.Array, centroids: jax.Array, chunk_size: int = 65536
+    x: jax.Array, centroids: jax.Array, point_chunk: int = 65536
 ) -> Tuple[jax.Array, jax.Array]:
-    """Nearest centroid per row: (assignments, distances)."""
-    vals, idx = dist_ops.exact_search(
-        x, centroids, 1, metric="L2", chunk_size=min(chunk_size, centroids.shape[0])
-    )
-    return idx[:, 0], vals[:, 0]
+    """Nearest centroid per row: (assignments, distances).
+
+    Chunks over the POINT axis: at 1M points x 4096 centroids the full score
+    matrix is 16 GB — each chunk keeps it at (point_chunk, nlist)."""
+    n = x.shape[0]
+    if n <= point_chunk:
+        vals, idx = dist_ops.exact_search(x, centroids, 1, metric="L2")
+        return idx[:, 0], vals[:, 0]
+    idx_parts, val_parts = [], []
+    for start in range(0, n, point_chunk):
+        vals, idx = dist_ops.exact_search(
+            x[start : start + point_chunk], centroids, 1, metric="L2"
+        )
+        idx_parts.append(idx[:, 0])
+        val_parts.append(vals[:, 0])
+    return jnp.concatenate(idx_parts), jnp.concatenate(val_parts)
 
 
 @functools.partial(jax.jit, static_argnames=("nlist",))
 def _update_step(x, assignments, nlist):
-    """One Lloyd update: new centroids + counts via one-hot matmul."""
-    onehot = jax.nn.one_hot(assignments, nlist, dtype=jnp.float32)  # (N, K)
-    sums = jnp.einsum("nk,nd->kd", onehot, x.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
-    counts = onehot.sum(axis=0)
+    """One Lloyd update via segment-sum (O(N*D), no (N, nlist) one-hot)."""
+    xf = x.astype(jnp.float32)
+    sums = jax.ops.segment_sum(xf, assignments, num_segments=nlist)
+    counts = jax.ops.segment_sum(
+        jnp.ones((x.shape[0],), jnp.float32), assignments, num_segments=nlist
+    )
     centroids = sums / jnp.maximum(counts[:, None], 1.0)
     return centroids, counts
 

@@ -34,7 +34,7 @@ from ..core.logging import get_logger
 from ..index.flat import _round_up
 from ..index.ivf import probe_scan_math
 from ..ops import distance as dist_ops
-from ..ops.kmeans import train_kmeans
+from ..ops.kmeans import assign as kmeans_assign, train_kmeans
 
 logger = get_logger(__name__)
 
@@ -123,10 +123,7 @@ class ShardedIVFIndex:
             (d * per_dev, min((d + 1) * per_dev, n)) for d in range(self.n_dev)
         ]
         assigns = np.asarray(
-            dist_ops.exact_search(
-                jnp.asarray(vectors), centroids, 1, metric="L2",
-                chunk_size=min(65536, self.nlist),
-            )[1][:, 0]
+            kmeans_assign(jnp.asarray(vectors), centroids)[0]
         )
 
         locals_ = []
