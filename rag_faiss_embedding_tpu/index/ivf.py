@@ -217,6 +217,14 @@ class IVFFlatIndex:
         self.build(all_vecs)
 
     # -------------------------------------------------------------- search
+    def _probe_query_chunk(self, nprobe: int) -> int:
+        """Queries per probe-scan chunk so the (Qc, P, C, D) gather stays
+        within a ~2 GB budget (at 1M x nlist=4096, nprobe=64 the full-batch
+        gather is ~19 GB > HBM)."""
+        bytes_per_q = nprobe * self._window * self.dim * self.dtype.itemsize
+        budget = 2 << 30
+        return max(8, min(256, budget // max(bytes_per_q, 1)))
+
     def search(
         self,
         queries: np.ndarray | jax.Array,
@@ -240,12 +248,30 @@ class IVFFlatIndex:
             q, self.centroids, nprobe, metric="L2",
             chunk_size=min(65536, self.nlist),
         )
-        dist, ids = _probe_scan(
-            q.astype(jnp.float32),
-            self._sorted_vecs, self._sorted_sq, self._sorted_ids,
-            self._offsets, self._lengths, probe_lists,
-            k=k, window=self._window,
-        )
+
+        qc = self._probe_query_chunk(nprobe)
+        if nq <= qc:
+            dist, ids = _probe_scan(
+                q.astype(jnp.float32),
+                self._sorted_vecs, self._sorted_sq, self._sorted_ids,
+                self._offsets, self._lengths, probe_lists,
+                k=k, window=self._window,
+            )
+        else:
+            parts = []
+            pad = (-nq) % qc
+            q_pad = jnp.pad(q.astype(jnp.float32), ((0, pad), (0, 0)))
+            p_pad = jnp.pad(probe_lists, ((0, pad), (0, 0)))
+            for start in range(0, nq + pad, qc):
+                parts.append(_probe_scan(
+                    q_pad[start : start + qc],
+                    self._sorted_vecs, self._sorted_sq, self._sorted_ids,
+                    self._offsets, self._lengths,
+                    p_pad[start : start + qc],
+                    k=k, window=self._window,
+                ))
+            dist = jnp.concatenate([p[0] for p in parts])[:nq]
+            ids = jnp.concatenate([p[1] for p in parts])[:nq]
         if self._pending.ntotal:
             pvals, pidx = self._pending.search(q, k)
             pidx = jnp.where(pidx >= 0, pidx + self._n_built, -1)
