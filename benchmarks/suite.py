@@ -115,7 +115,14 @@ def config2_flat_ip_qps(small: bool) -> dict:
 
 
 def config3_ivf_recall_sweep(small: bool) -> dict:
-    """IVF-Flat nprobe sweep: recall@10 vs the exact oracle."""
+    """IVF-Flat nprobe sweep: recall@10 vs the exact oracle.
+
+    The corpus is a gaussian MIXTURE (cluster structure like real embedding
+    distributions), not isotropic noise: in 384-d isotropic data true
+    neighbors spread uniformly over all lists and NO inverted-file method —
+    FAISS included — gets meaningful recall at low nprobe (measured: 0.11 at
+    nprobe=64). Queries are perturbed corpus points (realistic re-retrieval).
+    """
     import jax.numpy as jnp
 
     from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
@@ -125,8 +132,15 @@ def config3_ivf_recall_sweep(small: bool) -> dict:
     nlist = 64 if small else 4096
     nq = 64 if small else 256
     rng = np.random.default_rng(0)
-    db = rng.standard_normal((n, 384)).astype(np.float32)
-    q = rng.standard_normal((nq, 384)).astype(np.float32)
+    n_modes = nlist * 2
+    centers = rng.standard_normal((n_modes, 384)).astype(np.float32)
+    mode = rng.integers(0, n_modes, size=n)
+    # spread 0.7: clusters overlap moderately (nprobe sweep shows a real
+    # gradient instead of saturating at 1.0 or flooring near 0)
+    db = (centers[mode]
+          + 0.7 * rng.standard_normal((n, 384))).astype(np.float32)
+    q_src = rng.integers(0, n, size=nq)
+    q = (db[q_src] + 0.3 * rng.standard_normal((nq, 384))).astype(np.float32)
     idx = IVFFlatIndex(384, nlist=nlist, train_iters=10)
     t0 = time.perf_counter()
     idx.build(db)
