@@ -150,48 +150,52 @@ class IVFFlatIndex:
 
     def build(self, vectors: np.ndarray | jax.Array,
               row_ids: Optional[np.ndarray] = None) -> None:
-        """Train (if needed) and populate the inverted lists."""
+        """Train (if needed) and populate the inverted lists.
+
+        The entire build stays on device — assignment (point-chunked),
+        argsort, gather, bincount, cumsum — with ONE scalar host sync for the
+        window size. The previous host-side sort round-tripped the whole
+        corpus through the (slow) host link: 1.5 GB at 1M x 384.
+        """
         vecs = jnp.asarray(vectors, self.dtype)
         n = vecs.shape[0]
-        if row_ids is None:
-            row_ids = np.arange(n, dtype=np.int32)
         if not self.is_trained:
             self.train(vecs)
         # point-chunked assignment: a full (N, nlist) score matrix is 16 GB
         # at 1M x 4096
-        assign_idx, _ = kmeans_assign(vecs, self.centroids)
-        assignments = np.asarray(assign_idx)
-        order = np.argsort(assignments, kind="stable")
+        assignments, _ = kmeans_assign(vecs, self.centroids)
+        order = jnp.argsort(assignments, stable=True)
         sorted_assign = assignments[order]
-        lengths = np.bincount(sorted_assign, minlength=self.nlist).astype(np.int32)
-        offsets = np.zeros(self.nlist, np.int32)
-        np.cumsum(lengths[:-1], out=offsets[1:])
-        window = int(_round_up(max(int(lengths.max()), 1), 128))
+        lengths = jnp.bincount(sorted_assign, length=self.nlist).astype(jnp.int32)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(lengths)[:-1]]
+        )
+        window = int(_round_up(max(int(lengths.max()), 1), 128))  # host sync
 
-        host_vecs = np.asarray(vecs)[order]
-        host_sq = (host_vecs.astype(np.float32) ** 2).sum(-1)
-        host_ids = np.asarray(row_ids, np.int32)[order]
+        sorted_vecs = vecs[order]
+        sorted_sq = dist_ops.sqnorms(sorted_vecs)
+        if row_ids is None:
+            sorted_ids = order.astype(jnp.int32)
+        else:
+            sorted_ids = jnp.asarray(row_ids, jnp.int32)[order]
 
         # pad one window so every probe window stays in bounds
         pad = window
         self._sorted_vecs = jax.device_put(
-            jnp.asarray(np.pad(host_vecs, ((0, pad), (0, 0)))), self.device
+            jnp.pad(sorted_vecs, ((0, pad), (0, 0))), self.device
         )
-        self._sorted_sq = jax.device_put(
-            jnp.asarray(np.pad(host_sq, (0, pad))), self.device
-        )
+        self._sorted_sq = jax.device_put(jnp.pad(sorted_sq, (0, pad)), self.device)
         self._sorted_ids = jax.device_put(
-            jnp.asarray(np.pad(host_ids, (0, pad), constant_values=-1)),
-            self.device,
+            jnp.pad(sorted_ids, (0, pad), constant_values=-1), self.device
         )
-        self._offsets = jax.device_put(jnp.asarray(offsets), self.device)
-        self._lengths = jax.device_put(jnp.asarray(lengths), self.device)
+        self._offsets = jax.device_put(offsets, self.device)
+        self._lengths = jax.device_put(lengths, self.device)
         self._window = window
         self._n_built = n
         self._pending.reset()
         logger.info(
-            "built IVF: n=%d nlist=%d window=%d (mean list %.1f, max %d)",
-            n, self.nlist, window, lengths.mean(), lengths.max(),
+            "built IVF: n=%d nlist=%d window=%d",
+            n, self.nlist, window,
         )
 
     def add(self, vectors: np.ndarray | jax.Array) -> None:
