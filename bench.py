@@ -298,9 +298,16 @@ def main() -> None:
             cents = idx.centroids.astype(jnp.bfloat16)
             window = idx._window
 
+            # sub-chunk queries: the (Qc, nprobe, window, D) f32 probe gather
+            # at Qc=1024, window~1024, nprobe=4 is ~6 GB -> OOM; Qc=128 keeps
+            # it under 1 GB
+            qsub = 128
+
             def make_ivf(nprobe):
                 @jax.jit
                 def many(qs, sv, ssq, sid, off, lens, c):
+                    qs = qs.reshape(-1, qsub, DIM)
+
                     def body(acc, q):
                         _, probes = ivf_dist._exact_search_impl(
                             q, c, nprobe, metric="L2", db_sq=None,
