@@ -48,7 +48,9 @@ N_DB = 1_048_576  # 1M, multiple of the chunk size
 DIM = 384
 K = 10
 Q_BATCH = 1024
-CHUNK = 131072
+# Measured sweep (docs/PERF.md): 512k chunks nearly halve per-batch latency
+# vs 128k (fewer approx_max_k invocations / merges; 1M single-chunk regresses)
+CHUNK = 524288
 REPS = 8
 RECALL_QUERIES = 64
 NORTH_STAR_QPS = 1_000_000.0
@@ -167,9 +169,9 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     # CPU fallback scales for dev runs (numbers only meaningful on TPU)
-    global REPS, Q_BATCH
+    global REPS, Q_BATCH, CHUNK
     if platform != "tpu":
-        n_db, REPS, Q_BATCH = 131072, 2, 256
+        n_db, REPS, Q_BATCH, CHUNK = 131072, 2, 256, 131072
     else:
         n_db = N_DB
     n_chunks = n_db // CHUNK
