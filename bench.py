@@ -80,7 +80,11 @@ def _scan_factory(variant: str):
             if variant == "exact":
                 cv, cp = lax.top_k(scores, k_sel)
             else:
-                cv, cp = lax.approx_max_k(scores, k_sel, recall_target=0.99)
+                # int8 scores carry quantization error on top of the
+                # selection's own misses; 0.995 buys the recall gate back
+                # for ~6% QPS (measured sweep: 0.999 falls off a cliff)
+                rt = 0.995 if quantized else 0.99
+                cv, cp = lax.approx_max_k(scores, k_sel, recall_target=rt)
             ci = cp.astype(jnp.int32) + start
             v = jnp.concatenate([bv, cv], axis=1)
             i = jnp.concatenate([bi, ci], axis=1)
