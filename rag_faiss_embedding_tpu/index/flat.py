@@ -125,7 +125,7 @@ class FlatIndex:
 
     # ------------------------------------------------------------- search
     def search(
-        self, queries: np.ndarray | jax.Array, k: int, chunk_size: int = 65536
+        self, queries: np.ndarray | jax.Array, k: int, chunk_size: int = 524288
     ) -> Tuple[jax.Array, jax.Array]:
         """Exact top-k. Returns (values, indices) as device arrays, (Q, k).
 

@@ -192,10 +192,14 @@ def exact_search(
     metric: str = "L2",
     db_sq: Optional[jax.Array] = None,
     n_valid: Optional[int] = None,
-    chunk_size: int = 65536,
+    chunk_size: int = 524288,
     selector: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k scan over ``db`` for a batch of queries.
+
+    The 512k default chunk is measured (docs/PERF.md): fewer selection
+    invocations/merges nearly halve per-batch latency vs 128k chunks, while
+    a single 1M chunk regresses (score-matrix materialization).
 
     Args:
       q: (Q, D) queries.
