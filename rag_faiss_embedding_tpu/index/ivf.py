@@ -129,12 +129,20 @@ class IVFFlatIndex:
         # exact pending tier for streaming adds
         self._pending = FlatIndex(dim, metric=metric, dtype=dtype,
                                   device=self.device)
-        self.rebuild_threshold = 0.25  # rebuild when pending > 25% of built
+        # pending tier holds BOTH overflow spill from capped lists and
+        # streamed adds; _pending_rowids maps pending positions -> global ids
+        self._pending_rowids = np.zeros((0,), np.int32)
+        self._spill_pos = np.zeros((0,), np.int64)  # sorted-array coords
+        self._n_streamed = 0
+        self._next_id = 0
+        self.rebuild_threshold = 0.25  # rebuild when STREAMED > 25% of built
+        self.window_quantile = 0.98  # cap probe window at this list-length
+        #                              quantile; longer lists spill overflow
 
     # ------------------------------------------------------------- building
     @property
     def ntotal(self) -> int:
-        return self._n_built + self._pending.ntotal
+        return self._next_id
 
     def train(self, vectors: np.ndarray | jax.Array) -> None:
         vecs = jnp.asarray(vectors)
@@ -170,14 +178,45 @@ class IVFFlatIndex:
         offsets = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(lengths)[:-1]]
         )
-        window = int(_round_up(max(int(lengths.max()), 1), 128))  # host sync
-
         sorted_vecs = vecs[order]
         sorted_sq = dist_ops.sqnorms(sorted_vecs)
         if row_ids is None:
             sorted_ids = order.astype(jnp.int32)
         else:
             sorted_ids = jnp.asarray(row_ids, jnp.int32)[order]
+
+        # Cap the probe window at a list-length quantile: k-means skew makes
+        # the longest list ~8x the mean, and the fixed-window gather pays for
+        # the LONGEST list on every probe. Rows past the cap spill into the
+        # exactly-scanned pending tier (small, never hurts recall).
+        lengths_np = np.asarray(lengths)  # (nlist,) ints — tiny transfer
+        max_len = max(int(lengths_np.max()), 1)
+        cap = int(_round_up(
+            max(128, int(np.quantile(lengths_np, self.window_quantile))), 128
+        ))
+        self._pending.reset()
+        self._pending_rowids = np.zeros((0,), np.int32)
+        self._n_streamed = 0
+        if cap < max_len:
+            window = cap
+            offsets_np = np.zeros(self.nlist, np.int64)
+            np.cumsum(lengths_np[:-1], out=offsets_np[1:])
+            spill_pos = np.concatenate([
+                np.arange(off + cap, off + ln)
+                for off, ln in zip(offsets_np, lengths_np) if ln > cap
+            ]).astype(np.int64)
+            self._spill_pos = spill_pos
+            pos_dev = jnp.asarray(spill_pos)
+            self._pending.add(sorted_vecs[pos_dev])
+            self._pending_rowids = np.asarray(sorted_ids[pos_dev])
+            lengths = jnp.minimum(lengths, cap)
+            logger.info(
+                "capped IVF window at %d (max list %d): %d rows spilled "
+                "to the exact tier", cap, max_len, len(spill_pos),
+            )
+        else:
+            window = int(_round_up(max_len, 128))
+            self._spill_pos = np.zeros((0,), np.int64)
 
         # pad one window so every probe window stays in bounds
         pad = window
@@ -192,7 +231,7 @@ class IVFFlatIndex:
         self._lengths = jax.device_put(lengths, self.device)
         self._window = window
         self._n_built = n
-        self._pending.reset()
+        self._next_id = n
         logger.info(
             "built IVF: n=%d nlist=%d window=%d",
             n, self.nlist, window,
@@ -208,8 +247,15 @@ class IVFFlatIndex:
             # first add = build
             self.build(vecs)
             return
+        n_new = vecs.shape[0]
         self._pending.add(vecs)
-        if self._pending.ntotal > self.rebuild_threshold * max(self._n_built, 1):
+        self._pending_rowids = np.concatenate([
+            self._pending_rowids,
+            np.arange(self._next_id, self._next_id + n_new, dtype=np.int32),
+        ])
+        self._next_id += n_new
+        self._n_streamed += n_new
+        if self._n_streamed > self.rebuild_threshold * max(self._n_built, 1):
             self.rebuild()
 
     def rebuild(self) -> None:
@@ -278,7 +324,10 @@ class IVFFlatIndex:
             ids = jnp.concatenate([p[1] for p in parts])[:nq]
         if self._pending.ntotal:
             pvals, pidx = self._pending.search(q, k)
-            pidx = jnp.where(pidx >= 0, pidx + self._n_built, -1)
+            rowids = jnp.asarray(self._pending_rowids)
+            pidx = jnp.where(
+                pidx >= 0, rowids[jnp.maximum(pidx, 0)], -1
+            )
             merged_v, merged_i = dist_ops.merge_topk(
                 -dist, ids, -pvals, pidx, min(k, dist.shape[1] + pvals.shape[1])
             )
@@ -304,20 +353,34 @@ class IVFFlatIndex:
         self._lengths = None
         self._window = 0
         self._n_built = 0
+        self._next_id = 0
+        self._n_streamed = 0
+        self._pending_rowids = np.zeros((0,), np.int32)
+        self._spill_pos = np.zeros((0,), np.int64)
         self._pending.reset()
 
     def vectors(self) -> np.ndarray:
-        """Live vectors in original insertion order."""
-        parts = []
+        """Live vectors in original insertion order (spilled rows counted
+        once, via the pending tier)."""
+        all_vecs = []
+        all_ids = []
         if self._n_built:
             built = np.asarray(self._sorted_vecs[: self._n_built])
             ids = np.asarray(self._sorted_ids[: self._n_built])
-            parts.append(built[np.argsort(ids)])
+            if len(self._spill_pos):
+                keep = np.ones(self._n_built, bool)
+                keep[self._spill_pos] = False
+                built, ids = built[keep], ids[keep]
+            all_vecs.append(built)
+            all_ids.append(ids)
         if self._pending.ntotal:
-            parts.append(self._pending.vectors())
-        if not parts:
+            all_vecs.append(self._pending.vectors())
+            all_ids.append(self._pending_rowids)
+        if not all_vecs:
             return np.zeros((0, self.dim), np.float32)
-        return np.concatenate(parts)
+        vecs = np.concatenate(all_vecs)
+        ids = np.concatenate(all_ids)
+        return vecs[np.argsort(ids, kind="stable")]
 
     # ---------------------------------------------------------------- io
     def state_dict(self) -> dict:

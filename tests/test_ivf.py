@@ -119,3 +119,32 @@ def test_ivf_empty_and_k_padding(rng):
     idx.build(pts)
     vals, ids = idx.search(pts[0], 50, nprobe=4)
     assert np.asarray(ids).shape == (1, 50)
+
+
+def test_ivf_window_cap_spills_and_stays_exact(rng):
+    """Skewed lists: the window cap spills overflow to the exact tier without
+    losing any row (full probe still matches brute force)."""
+    # one giant cluster + several small ones -> heavy list-length skew
+    big = rng.standard_normal((600, 16)).astype(np.float32) * 0.05
+    rest = (rng.standard_normal((8, 16)).astype(np.float32) * 5
+            + 0.05 * rng.standard_normal((8, 40, 16)).astype(np.float32)
+            .transpose(1, 0, 2)).reshape(-1, 16)
+    pts = np.concatenate([big, rest.astype(np.float32)])
+    idx = IVFFlatIndex(16, nlist=8, nprobe=8, train_iters=10)
+    idx.window_quantile = 0.5  # force a cap well below the biggest list
+    idx.build(pts)
+    assert idx._pending.ntotal > 0, "expected spill"
+    assert idx.ntotal == len(pts)  # spilled rows not double counted
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    vals, ids = idx.search(q, 7, nprobe=8)
+    ref_vals, ref_ids = numpy_exact(q, pts, 7, "L2")
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    # streaming adds on top of spill keep working and stay findable
+    extra = rng.standard_normal((5, 16)).astype(np.float32)
+    idx.add(extra)
+    _, hit = idx.search(extra[2], 1)
+    assert int(np.asarray(hit)[0, 0]) == len(pts) + 2
+    # vectors() reconstructs insertion order exactly
+    np.testing.assert_allclose(
+        idx.vectors(), np.concatenate([pts, extra]), rtol=1e-6
+    )
