@@ -8,9 +8,10 @@ scan.
 TPU-first design decisions (SURVEY.md §7 "IVF irregularity on TPU"):
 - vectors are stored CLUSTER-SORTED in one contiguous device buffer (plus
   parallel sqnorm/row-id arrays) — no per-list ragged structures;
-- a probe reads a fixed-size window of ``C`` slots (C = longest list, padded)
-  starting at the list offset, with a validity mask — variable-length lists
-  become fixed-shape gathers XLA can vectorize;
+- a probe reads a fixed-size window of ``C`` slots (C = the P98 list length,
+  padded to 128) starting at the list offset, with a validity mask —
+  variable-length lists become fixed-shape gathers XLA can vectorize; rows
+  of lists longer than C spill into the exactly-scanned pending tier;
 - search = coarse exact top-nprobe over centroids (same fused scan as the
   flat tier) -> windowed gather of probed lists -> masked distance + top-k,
   all jitted with static (nprobe, C, k);
@@ -131,7 +132,9 @@ class IVFFlatIndex:
                                   device=self.device)
         # pending tier holds BOTH overflow spill from capped lists and
         # streamed adds; _pending_rowids maps pending positions -> global ids
+        # (kept on host for persistence, mirrored on device for the hot path)
         self._pending_rowids = np.zeros((0,), np.int32)
+        self._pending_rowids_dev = None
         self._spill_pos = np.zeros((0,), np.int64)  # sorted-array coords
         self._n_streamed = 0
         self._next_id = 0
@@ -196,11 +199,11 @@ class IVFFlatIndex:
         ))
         self._pending.reset()
         self._pending_rowids = np.zeros((0,), np.int32)
+        self._pending_rowids_dev = None
         self._n_streamed = 0
         if cap < max_len:
             window = cap
-            offsets_np = np.zeros(self.nlist, np.int64)
-            np.cumsum(lengths_np[:-1], out=offsets_np[1:])
+            offsets_np = np.asarray(offsets, np.int64)
             spill_pos = np.concatenate([
                 np.arange(off + cap, off + ln)
                 for off, ln in zip(offsets_np, lengths_np) if ln > cap
@@ -209,6 +212,7 @@ class IVFFlatIndex:
             pos_dev = jnp.asarray(spill_pos)
             self._pending.add(sorted_vecs[pos_dev])
             self._pending_rowids = np.asarray(sorted_ids[pos_dev])
+            self._pending_rowids_dev = None
             lengths = jnp.minimum(lengths, cap)
             logger.info(
                 "capped IVF window at %d (max list %d): %d rows spilled "
@@ -253,6 +257,7 @@ class IVFFlatIndex:
             self._pending_rowids,
             np.arange(self._next_id, self._next_id + n_new, dtype=np.int32),
         ])
+        self._pending_rowids_dev = None
         self._next_id += n_new
         self._n_streamed += n_new
         if self._n_streamed > self.rebuild_threshold * max(self._n_built, 1):
@@ -324,7 +329,11 @@ class IVFFlatIndex:
             ids = jnp.concatenate([p[1] for p in parts])[:nq]
         if self._pending.ntotal:
             pvals, pidx = self._pending.search(q, k)
-            rowids = jnp.asarray(self._pending_rowids)
+            if self._pending_rowids_dev is None:  # refresh device mirror
+                self._pending_rowids_dev = jax.device_put(
+                    jnp.asarray(self._pending_rowids), self.device
+                )
+            rowids = self._pending_rowids_dev
             pidx = jnp.where(
                 pidx >= 0, rowids[jnp.maximum(pidx, 0)], -1
             )
@@ -356,6 +365,7 @@ class IVFFlatIndex:
         self._next_id = 0
         self._n_streamed = 0
         self._pending_rowids = np.zeros((0,), np.int32)
+        self._pending_rowids_dev = None
         self._spill_pos = np.zeros((0,), np.int64)
         self._pending.reset()
 
@@ -391,6 +401,7 @@ class IVFFlatIndex:
             "dtype": str(self.dtype),
             "nlist": self.nlist,
             "nprobe": self.nprobe,
+            "window_quantile": self.window_quantile,
             "centroids": np.asarray(self.centroids)
             if self.centroids is not None
             else np.zeros((0, self.dim), np.float32),
@@ -411,6 +422,8 @@ class IVFFlatIndex:
             dtype=str(item(state["dtype"])),
             **kwargs,
         )
+        if "window_quantile" in state:
+            idx.window_quantile = float(item(state["window_quantile"]))
         centroids = np.asarray(state["centroids"])
         vectors = np.asarray(state["vectors"])
         if centroids.size:
