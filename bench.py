@@ -19,18 +19,29 @@ protocol used here amortizes: REPS independent query batches run inside ONE
 jitted ``lax.scan`` whose only output is a checksum scalar; wall time minus a
 measured trivial-dispatch RTT, divided by REPS, is the per-batch latency.
 
+Every measured path is the SHIPPED library code (ops/distance.exact_search,
+ops/quantize.int8_search / int8_rerank_search) — the bench wraps them in the
+amortized-timing scan but does not reimplement the kernels, so measured
+tuning IS what a library user gets. Recall gates run on >=1024 queries
+(sigma ~1e-3 at p=0.99, tight enough for 0.99-gate decisions).
+
+Recall oracle note: no ``faiss`` wheel exists in this image, so recall@10 is
+measured against this repo's fp32-exact scan (rank-order verified against
+numpy float64 in tests/) rather than literal ``faiss.IndexFlatL2`` output —
+BASELINE config #3's "parity with FAISS" is argued via that oracle.
+
 Paths compared (best wins, recall-gated at 0.99 vs the fp32 exact oracle):
 - exact:       bf16 storage, chunked fused scan, ``lax.top_k`` (rank-exact)
 - approx:      bf16 storage, ``lax.approx_max_k`` per chunk (XLA's TPU
                PartialReduce ANN selection, recall_target=0.99) + exact merge
 - int8_approx: SQ8 storage (per-row scales, exact fp32 norms), int8 MXU
                matmul with int32 accumulation (2x bf16 throughput on v5e),
-               approx selection
-- int8_rerank: two-stage — the int8 scan keeps its cheap per-chunk top-K
-               selection but skips the cross-chunk merge, collecting all
-               n_chunks*K candidates; an exact bf16 rerank over those rows
-               (a tiny gather + matmul) restores the recall the quantized
-               cross-term loses (classic retrieve-then-rerank)
+               approx selection (recall_target=0.995, the library default)
+- int8_rerank: two-stage — the int8 scan keeps its cheap per-chunk top-2K
+               selection but skips the cross-chunk merge; an exact bf16
+               rerank over the n_chunks*2K candidates (a tiny gather +
+               matmul) restores the recall the quantized cross-term loses
+               (FlatIndex(dtype="int8", selector="rerank"))
 - ivf:         IVF-Flat tier (nlist=4096, k-means++/Lloyd trained on-device),
                measured at the smallest nprobe whose recall passes the gate;
                index build time reported as index_build_vectors_per_s
@@ -52,117 +63,85 @@ Q_BATCH = 1024
 # vs 128k (fewer approx_max_k invocations / merges; 1M single-chunk regresses)
 CHUNK = 524288
 REPS = 8
-RECALL_QUERIES = 64
+RECALL_QUERIES = 1024  # sigma(recall@10) ~ 1e-3 at p=0.99 — gate-decision grade
 NORTH_STAR_QPS = 1_000_000.0
 
 
 def _scan_factory(variant: str):
+    """Wrap the SHIPPED library search paths in the amortized-timing harness.
+
+    ``single(q, ...)`` is exactly what FlatIndex.search dispatches to for the
+    corresponding (dtype, selector) config; ``many`` runs REPS batches inside
+    one jit with a checksum-only output (the honest-timing protocol).
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    from rag_faiss_embedding_tpu.ops import distance as dist_ops
+    from rag_faiss_embedding_tpu.ops.quantize import (
+        int8_rerank_search,
+        int8_search,
+        quantize_rows,
+    )
+
     quantized = variant.startswith("int8")
 
-    def batch_topk(q, db_c, sq_c, starts, scale_c=None, q_scale=None,
-                   k_sel=K):
-        """One query batch over all chunks; returns (vals, idx) (Q, k_sel)."""
-        def step(carry, inp):
-            bv, bi = carry
-            if quantized:
-                chunk, s, start, scales = inp
-                dots_i32 = jnp.dot(q, chunk.T, preferred_element_type=jnp.int32)
-                dots = (dots_i32.astype(jnp.float32)
-                        * q_scale[:, None] * scales[None, :])
-            else:
-                chunk, s, start = inp
-                dots = jnp.dot(q, chunk.T, preferred_element_type=jnp.float32)
-            scores = 2.0 * dots - s[None, :]
-            if variant == "exact":
-                cv, cp = lax.top_k(scores, k_sel)
-            else:
-                # int8 scores carry quantization error on top of the
-                # selection's own misses; 0.995 buys the recall gate back
-                # for ~6% QPS (measured sweep: 0.999 falls off a cliff)
-                rt = 0.995 if quantized else 0.99
-                cv, cp = lax.approx_max_k(scores, k_sel, recall_target=rt)
-            ci = cp.astype(jnp.int32) + start
-            v = jnp.concatenate([bv, cv], axis=1)
-            i = jnp.concatenate([bi, ci], axis=1)
-            nv, pos = lax.top_k(v, k_sel)
-            return (nv, jnp.take_along_axis(i, pos, axis=1)), None
-
-        init = (
-            jnp.full((q.shape[0], k_sel), -1e30, jnp.float32),
-            jnp.full((q.shape[0], k_sel), -1, jnp.int32),
-        )
-        xs = (db_c, sq_c, starts) if not quantized else (
-            db_c, sq_c, starts, scale_c)
-        (bv, bi), _ = lax.scan(step, init, xs)
-        return bv, bi
-
-    def batch_candidates(q, db_c, sq_c, starts, scale_c, q_scale):
-        """Per-chunk top-K WITHOUT cross-chunk merge: (Q, n_chunks*K) ids.
-
-        The merge is what forces k_sel-wide selection per chunk; collecting
-        candidates instead keeps selection at K and defers ranking to the
-        exact rerank stage."""
-        def step(_, inp):
-            chunk, s, start, scales = inp
-            dots_i32 = jnp.dot(q, chunk.T, preferred_element_type=jnp.int32)
-            dots = (dots_i32.astype(jnp.float32)
-                    * q_scale[:, None] * scales[None, :])
-            scores = 2.0 * dots - s[None, :]
-            cv, cp = lax.approx_max_k(scores, 2 * K, recall_target=0.99)
-            return None, cp.astype(jnp.int32) + start
-
-        _, ids = lax.scan(step, None, (db_c, sq_c, starts, scale_c))
-        return jnp.transpose(ids, (1, 0, 2)).reshape(q.shape[0], -1)
-
     if quantized:
-        from rag_faiss_embedding_tpu.ops.quantize import quantize_rows
-
         rerank = variant.endswith("rerank")
 
-        def run_one(q_bf16, db_c, sq_c, starts, scale_c, db_flat16):
-            q_i8, q_scale = quantize_rows(q_bf16)
-            if not rerank:
-                return batch_topk(q_i8, db_c, sq_c, starts, scale_c, q_scale)
-            bi = batch_candidates(q_i8, db_c, sq_c, starts, scale_c, q_scale)
-            # exact bf16 rerank over the (Q, n_chunks*K) candidates
-            cand = db_flat16[bi]                        # gather
-            cand_sq = sq_c.reshape(-1)[bi]
-            dots = jnp.einsum(
-                "qd,qkd->qk", q_bf16, cand, preferred_element_type=jnp.float32
+        def run_one(q_f32, db_i8, db_scale, db_sq, shadow):
+            n_valid = jnp.int32(db_i8.shape[0])
+            q_sq = dist_ops.sqnorms(q_f32)
+            q_i8, q_scale = quantize_rows(q_f32)
+            if rerank:
+                return int8_rerank_search(
+                    q_f32, q_i8, q_scale, q_sq, db_i8, db_scale, db_sq,
+                    shadow, K, metric="L2", n_valid=n_valid,
+                    chunk_size=CHUNK, cand_per_chunk=2 * K,
+                )
+            return int8_search(
+                q_i8, q_scale, q_sq, db_i8, db_scale, db_sq, K,
+                metric="L2", n_valid=n_valid, chunk_size=CHUNK,
+                selector="approx",
             )
-            scores = 2.0 * dots - cand_sq
-            nv2, pos = lax.top_k(scores, K)
-            return nv2, jnp.take_along_axis(bi, pos, axis=1)
 
         @jax.jit
-        def many(qstack, db_c, sq_c, starts, scale_c, db_flat16):
+        def many(qstack, db_i8, db_scale, db_sq, shadow):
             def body(acc, q):
-                bv, bi = run_one(q, db_c, sq_c, starts, scale_c, db_flat16)
+                bv, bi = run_one(q, db_i8, db_scale, db_sq, shadow)
+                bv = jnp.where(jnp.isfinite(bv), bv, 0.0)
                 return acc + bv.sum() + bi.sum().astype(jnp.float32), None
             acc, _ = lax.scan(body, jnp.float32(0.0), qstack)
             return acc
 
         @jax.jit
-        def single(q, db_c, sq_c, starts, scale_c, db_flat16):
-            return run_one(q, db_c, sq_c, starts, scale_c, db_flat16)
+        def single(q, db_i8, db_scale, db_sq, shadow):
+            return run_one(q, db_i8, db_scale, db_sq, shadow)
 
         return many, single
 
+    selector = "approx" if variant == "approx" else "exact"
+
+    def run_one(q_bf16, db_bf16, db_sq):
+        return dist_ops._exact_search_impl(
+            q_bf16, db_bf16, K, metric="L2", db_sq=db_sq,
+            n_valid=jnp.int32(db_bf16.shape[0]), chunk_size=CHUNK,
+            selector=selector,
+        )
+
     @jax.jit
-    def many(qstack, db_c, sq_c, starts):
+    def many(qstack, db_bf16, db_sq):
         def body(acc, q):
-            bv, bi = batch_topk(q, db_c, sq_c, starts)
+            bv, bi = run_one(q, db_bf16, db_sq)
+            bv = jnp.where(jnp.isfinite(bv), bv, 0.0)
             return acc + bv.sum() + bi.sum().astype(jnp.float32), None
         acc, _ = lax.scan(body, jnp.float32(0.0), qstack)
         return acc
 
     @jax.jit
-    def single(q, db_c, sq_c, starts):
-        return batch_topk(q, db_c, sq_c, starts)
+    def single(q, db_bf16, db_sq):
+        return run_one(q, db_bf16, db_sq)
 
     return many, single
 
@@ -173,9 +152,10 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     # CPU fallback scales for dev runs (numbers only meaningful on TPU)
-    global REPS, Q_BATCH, CHUNK
+    global REPS, Q_BATCH, CHUNK, RECALL_QUERIES
     if platform != "tpu":
         n_db, REPS, Q_BATCH, CHUNK = 131072, 2, 256, 131072
+        RECALL_QUERIES = min(RECALL_QUERIES, Q_BATCH)
     else:
         n_db = N_DB
     n_chunks = n_db // CHUNK
@@ -207,7 +187,6 @@ def main() -> None:
     sq_c = jnp.sum(db_c32**2, axis=-1)
     qstack32 = gen_q(jax.random.fold_in(key, 1), db_c32.reshape(-1, DIM))
     qstack = qstack32.astype(jnp.bfloat16)
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
     jax.block_until_ready((db_c, sq_c, qstack))
 
     trivial = jax.jit(lambda x: x.sum())
@@ -215,26 +194,28 @@ def main() -> None:
 
     import os
 
-    # SQ8 arrays (derived on device from the same f32 data)
+    # SQ8 arrays (derived on device from the same f32 data; identical to
+    # what FlatIndex(dtype="int8").add computes)
     from rag_faiss_embedding_tpu.ops.quantize import quantize_rows
 
     db_i8_flat, db_scales = jax.jit(quantize_rows)(db_c32.reshape(n_db, DIM))
-    db_i8_c = db_i8_flat.reshape(n_chunks, CHUNK, DIM)
-    scale_c = db_scales.reshape(n_chunks, CHUNK)
-    jax.block_until_ready((db_i8_c, scale_c))
+    jax.block_until_ready((db_i8_flat, db_scales))
 
     db_flat16 = db_c.reshape(n_db, DIM)
+    db_sq = sq_c.reshape(-1)
     variants = ("approx", "int8_rerank") if os.environ.get("RFE_BENCH_FAST") else (
         "approx", "int8_approx", "int8_rerank", "exact")
     results = {}
     singles = {}
+    variant_args = {}
     for variant in variants:
         try:
             many, single = _scan_factory(variant)
             if variant.startswith("int8"):
-                args = (qstack, db_i8_c, sq_c, starts, scale_c, db_flat16)
+                args = (qstack32, db_i8_flat, db_scales, db_sq, db_flat16)
             else:
-                args = (qstack, db_c, sq_c, starts)
+                args = (qstack, db_flat16, db_sq)
+            variant_args[variant] = args[1:]
             float(many(*args))  # compile + warm
             t0 = time.perf_counter()
             float(trivial(sq_c))
@@ -267,15 +248,8 @@ def main() -> None:
     recalls = {}
     for variant, single in singles.items():
         try:
-            if variant.startswith("int8"):
-                _, pred = single(
-                    qstack[0][:RECALL_QUERIES], db_i8_c, sq_c, starts,
-                    scale_c, db_flat16,
-                )
-            else:
-                _, pred = single(
-                    qstack[0][:RECALL_QUERIES], db_c, sq_c, starts,
-                )
+            qsub = (qstack32 if variant.startswith("int8") else qstack)[0]
+            _, pred = single(qsub[:RECALL_QUERIES], *variant_args[variant])
             pred = np.asarray(pred)
             hits = sum(
                 len(set(p.tolist()) & set(t.tolist()))
@@ -285,6 +259,28 @@ def main() -> None:
         except Exception as e:
             print(f"# recall check for {variant} failed: {e}")
             recalls[variant] = 0.0
+
+    # CI-style guard: the shipped FlatIndex CLASS with its library defaults
+    # (dtype=int8, selector=approx) must itself meet the 0.99 gate — catches
+    # any future bench/library divergence (round-1 weak spot).
+    library_class_recall = None
+    try:
+        from rag_faiss_embedding_tpu.index import FlatIndex
+
+        fidx = FlatIndex(DIM, dtype="int8", selector="approx",
+                         capacity=n_db)
+        fidx.add(db_c32.reshape(n_db, DIM))
+        _, pred = fidx.search(sub_q, K, chunk_size=CHUNK)
+        pred = np.asarray(pred)
+        hits = sum(len(set(p.tolist()) & set(t.tolist()))
+                   for p, t in zip(pred, truth))
+        library_class_recall = hits / truth.size
+        if library_class_recall < 0.99:
+            print(f"# WARNING: FlatIndex int8+approx defaults below gate: "
+                  f"{library_class_recall:.4f}")
+        del fidx
+    except Exception as e:
+        print(f"# library-class recall guard failed: {type(e).__name__}: {e}")
 
     # ------------------------------------------------------------- IVF tier
     ivf_extras = {}
@@ -383,6 +379,11 @@ def main() -> None:
             for v, r in results.items()
         },
         "platform": platform,
+        "recall_queries": RECALL_QUERIES,
+        "recall_oracle": "fp32_exact_scan (no faiss wheel in image; "
+                         "rank-parity vs numpy float64 covered in tests/)",
+        **({"library_class_recall_at_10": round(library_class_recall, 4)}
+           if library_class_recall is not None else {}),
         **ivf_extras,
     }
     print(json.dumps(out))

@@ -53,15 +53,36 @@ class FlatIndex:
         device: Optional[jax.Device] = None,
         use_pallas: Optional[bool] = None,
         selector: str = "exact",
+        recall_target: Optional[float] = None,
+        rerank_shadow: bool = True,
     ):
-        if selector not in ("exact", "approx"):
-            raise ValueError(f"selector must be 'exact' or 'approx', got {selector!r}")
+        if selector not in ("exact", "approx", "rerank"):
+            raise ValueError(
+                f"selector must be 'exact', 'approx' or 'rerank', got {selector!r}"
+            )
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
         self.dim = int(dim)
         self.metric = metric
         self.dtype = jnp.dtype(dtype)
         self.quantized = self.dtype == jnp.int8
+        if selector == "rerank" and not self.quantized:
+            # retrieve-then-rerank only pays when stage 1 is quantized;
+            # full-precision storage should use exact/approx directly
+            raise ValueError("selector='rerank' requires dtype='int8'")
+        if recall_target is None:
+            # int8 scores carry quantization error on top of the selection's
+            # own misses; the measured-gated default differs (docs/PERF.md).
+            # The rerank selector's wide per-chunk candidate set + exact
+            # second stage tolerates the cheaper 0.99 selection.
+            from ..ops.quantize import DEFAULT_INT8_RECALL_TARGET
+
+            recall_target = (
+                DEFAULT_INT8_RECALL_TARGET
+                if self.quantized and selector != "rerank"
+                else 0.99
+            )
+        self.recall_target = float(recall_target)
         self.device = device if device is not None else jax.devices()[0]
         self.ntotal = 0
         self.selector = selector
@@ -77,6 +98,14 @@ class FlatIndex:
             jax.device_put(jnp.zeros((self._capacity,), jnp.float32), self.device)
             if self.quantized else None
         )
+        # bf16 shadow copy for the rerank stage (2 bytes/dim on top of the
+        # 1-byte codes; restores the recall the quantized cross term loses)
+        self._shadow = (
+            jax.device_put(
+                jnp.zeros((self._capacity, self.dim), jnp.bfloat16), self.device
+            )
+            if selector == "rerank" and rerank_shadow else None
+        )
 
     # ---------------------------------------------------------------- add
     def _grow(self, needed: int) -> None:
@@ -90,6 +119,8 @@ class FlatIndex:
         self._sq = jnp.pad(self._sq, (0, pad))
         if self._scales is not None:
             self._scales = jnp.pad(self._scales, (0, pad))
+        if self._shadow is not None:
+            self._shadow = jnp.pad(self._shadow, ((0, pad), (0, 0)))
         self._capacity = new_cap
         logger.debug("grew flat index capacity to %d rows", new_cap)
 
@@ -114,6 +145,10 @@ class FlatIndex:
             self._scales = jax.lax.dynamic_update_slice(
                 self._scales, scale_dev, (self.ntotal,)
             )
+            if self._shadow is not None:
+                self._shadow = jax.lax.dynamic_update_slice(
+                    self._shadow, vecs_f.astype(jnp.bfloat16), (self.ntotal, 0)
+                )
         else:
             vecs_dev = jax.device_put(vecs.astype(self.dtype), self.device)
             sq_dev = dist_ops.sqnorms(vecs_dev)
@@ -144,16 +179,30 @@ class FlatIndex:
                 jnp.full((nq, k), -1, jnp.int32),
             )
         if self.quantized:
-            from ..ops.quantize import int8_search, quantize_rows
+            from ..ops.quantize import (
+                int8_rerank_search,
+                int8_search,
+                quantize_rows,
+            )
 
             qf = jax.device_put(q.astype(jnp.float32), self.device)
             q_sq = dist_ops.sqnorms(qf)
             q_i8, q_scale = quantize_rows(qf)
+            if self.selector == "rerank":
+                return int8_rerank_search(
+                    qf, q_i8, q_scale, q_sq,
+                    self._buf, self._scales, self._sq, self._shadow, k,
+                    metric=self.metric, n_valid=jnp.int32(self.ntotal),
+                    chunk_size=min(chunk_size, self._capacity),
+                    cand_per_chunk=max(2 * k, 16),
+                    recall_target=self.recall_target,
+                )
             return int8_search(
                 q_i8, q_scale, q_sq, self._buf, self._scales, self._sq, k,
                 metric=self.metric, n_valid=jnp.int32(self.ntotal),
                 chunk_size=min(chunk_size, self._capacity),
                 selector=self.selector,
+                recall_target=self.recall_target,
             )
         q = jax.device_put(q.astype(self.dtype), self.device)
         use_pallas = self._use_pallas
@@ -178,7 +227,7 @@ class FlatIndex:
             q, self._buf, k,
             metric=self.metric, db_sq=self._sq,
             n_valid=self.ntotal, chunk_size=chunk_size,
-            selector=self.selector,
+            selector=self.selector, recall_target=self.recall_target,
         )
 
     # ------------------------------------------------------------- manage
@@ -189,6 +238,8 @@ class FlatIndex:
         self._sq = jnp.zeros_like(self._sq)
         if self._scales is not None:
             self._scales = jnp.zeros_like(self._scales)
+        if self._shadow is not None:
+            self._shadow = jnp.zeros_like(self._shadow)
 
     def vectors(self) -> np.ndarray:
         """Host copy of the live rows (for serialization / re-training).
@@ -212,6 +263,11 @@ class FlatIndex:
         if self.quantized:  # lossless reload: keep codes + scales + norms
             state["scales"] = np.asarray(self._scales[: self.ntotal])
             state["sqnorms"] = np.asarray(self._sq[: self.ntotal])
+            if self._shadow is not None:
+                # bf16 has no npz dtype; store the raw uint16 bit pattern
+                state["shadow"] = np.asarray(
+                    self._shadow[: self.ntotal].view(jnp.uint16)
+                )
         return state
 
     @classmethod
@@ -237,6 +293,25 @@ class FlatIndex:
             idx._sq = jax.lax.dynamic_update_slice(
                 idx._sq, jnp.asarray(state["sqnorms"], jnp.float32), (0,)
             )
+            if idx._shadow is not None and "shadow" in state:
+                shadow = jnp.asarray(state["shadow"], jnp.uint16).view(
+                    jnp.bfloat16
+                )
+                idx._shadow = jax.lax.dynamic_update_slice(
+                    idx._shadow, shadow, (0, 0)
+                )
+            elif idx._shadow is not None:
+                # no stored shadow: reconstruct (lossy) from the codes
+                from ..ops.quantize import dequantize
+
+                idx._shadow = jax.lax.dynamic_update_slice(
+                    idx._shadow,
+                    dequantize(
+                        jnp.asarray(vecs, jnp.int8),
+                        jnp.asarray(state["scales"], jnp.float32),
+                    ).astype(jnp.bfloat16),
+                    (0, 0),
+                )
             idx.ntotal = n
         else:
             idx.add(vecs)

@@ -106,7 +106,8 @@ def _chunk_scores(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk_size", "selector")
+    jax.jit,
+    static_argnames=("k", "metric", "chunk_size", "selector", "recall_target"),
 )
 def _exact_search_impl(
     q: jax.Array,
@@ -118,6 +119,7 @@ def _exact_search_impl(
     n_valid: jax.Array,
     chunk_size: int,
     selector: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jax.Array, jax.Array]:
     n = db.shape[0]
     nq = q.shape[0]
@@ -154,7 +156,7 @@ def _exact_search_impl(
         if selector == "approx":
             # XLA's TPU PartialReduce ANN selection (the ScaNN-style
             # reduction); per-chunk recall>=0.99, cross-chunk merge exact.
-            cv, cp = lax.approx_max_k(scores, kc, recall_target=0.99)
+            cv, cp = lax.approx_max_k(scores, kc, recall_target=recall_target)
             cp = cp.astype(jnp.int32)
         else:
             cv, cp = lax.top_k(scores, kc)
@@ -194,6 +196,7 @@ def exact_search(
     n_valid: Optional[int] = None,
     chunk_size: int = 524288,
     selector: str = "exact",
+    recall_target: float = 0.99,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k scan over ``db`` for a batch of queries.
 
@@ -212,7 +215,8 @@ def exact_search(
       chunk_size: database rows per scan step (static).
       selector: "exact" (lax.top_k, rank-exact) or "approx"
         (lax.approx_max_k, TPU-optimized selection with per-chunk
-        recall@k >= 0.99; the distance computation stays exact).
+        recall@k >= recall_target; the distance computation stays exact).
+      recall_target: per-chunk selection recall for selector="approx".
 
     Returns:
       (values, indices): (Q, k) raw distances/scores and int32 row indices.
@@ -229,4 +233,5 @@ def exact_search(
     return _exact_search_impl(
         q, db, k, metric=metric, db_sq=db_sq, n_valid=nv,
         chunk_size=chunk_size, selector=selector,
+        recall_target=recall_target,
     )

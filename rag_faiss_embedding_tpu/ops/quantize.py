@@ -42,8 +42,16 @@ def dequantize(q: jax.Array, scales: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scales[:, None]
 
 
+# int8 scores carry quantization error on top of the approx selection's own
+# misses; 0.995 buys the 0.99 recall gate back for ~6% QPS (measured sweep,
+# docs/PERF.md: rt=0.99 -> recall 0.9891 BELOW gate; 0.995 -> 0.9906;
+# 0.999 falls off a throughput cliff).
+DEFAULT_INT8_RECALL_TARGET = 0.995
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk_size", "selector")
+    jax.jit,
+    static_argnames=("k", "metric", "chunk_size", "selector", "recall_target"),
 )
 def int8_search(
     q_i8: jax.Array,       # (Q, D) int8
@@ -58,6 +66,7 @@ def int8_search(
     n_valid: jax.Array,
     chunk_size: int,
     selector: str = "exact",
+    recall_target: float = DEFAULT_INT8_RECALL_TARGET,
 ) -> Tuple[jax.Array, jax.Array]:
     """Chunked int8 scan with running top-k; same contract as exact_search."""
     n, d = db_i8.shape
@@ -93,7 +102,7 @@ def int8_search(
         scores = jnp.where(gidx < n_valid, scores, NEG_INF)
         kc = min(k_eff, chunk_size)
         if selector == "approx":
-            cv, cp = lax.approx_max_k(scores, kc, recall_target=0.99)
+            cv, cp = lax.approx_max_k(scores, kc, recall_target=recall_target)
             cp = cp.astype(jnp.int32)
         else:
             cv, cp = lax.top_k(scores, kc)
@@ -110,6 +119,107 @@ def int8_search(
         values = jnp.where(valid, dist, jnp.inf)
     else:
         values = jnp.where(valid, best_v, -jnp.inf)
+    if k_eff < k:
+        fill = jnp.inf if metric == "L2" else -jnp.inf
+        values = jnp.concatenate(
+            [values, jnp.full((nq, k - k_eff), fill, values.dtype)], axis=-1
+        )
+        best_i = jnp.concatenate(
+            [best_i, jnp.full((nq, k - k_eff), -1, jnp.int32)], axis=-1
+        )
+    return values, best_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "chunk_size", "cand_per_chunk", "recall_target"
+    ),
+)
+def int8_rerank_search(
+    q: jax.Array,          # (Q, D) float — full-precision queries for rerank
+    q_i8: jax.Array,       # (Q, D) int8
+    q_scale: jax.Array,    # (Q,) f32
+    q_sq: jax.Array,       # (Q,) f32 exact query norms
+    db_i8: jax.Array,      # (N, D) int8
+    db_scale: jax.Array,   # (N,) f32
+    db_sq: jax.Array,      # (N,) f32 exact row norms
+    shadow: Optional[jax.Array],  # (N, D) bf16 rerank copy, or None
+    k: int,
+    *,
+    metric: str,
+    n_valid: jax.Array,
+    chunk_size: int,
+    cand_per_chunk: int,
+    recall_target: float = 0.99,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage retrieve-then-rerank over SQ8 storage.
+
+    Stage 1 scans the int8 codes chunk by chunk and keeps each chunk's
+    approx top-``cand_per_chunk`` WITHOUT a cross-chunk merge — the merge is
+    what forces k-wide selection per chunk; deferring ranking keeps the
+    selection cheap. Stage 2 gathers the n_chunks*cand_per_chunk candidate
+    rows (from the bf16 ``shadow`` if given, else dequantized int8 codes)
+    and reranks them exactly against the full-precision query, restoring
+    the recall the quantized cross term loses.
+    """
+    n, d = db_i8.shape
+    nq = q_i8.shape[0]
+
+    n_chunks = max(1, -(-n // chunk_size))
+    pad = n_chunks * chunk_size - n
+    if pad:
+        db_i8 = jnp.pad(db_i8, ((0, pad), (0, 0)))
+        db_scale = jnp.pad(db_scale, (0, pad))
+        db_sq = jnp.pad(db_sq, (0, pad))
+    db_c = db_i8.reshape(n_chunks, chunk_size, d)
+    sc_c = db_scale.reshape(n_chunks, chunk_size)
+    sq_c = db_sq.reshape(n_chunks, chunk_size)
+    kc = min(cand_per_chunk, chunk_size)
+
+    def step(_, inp):
+        chunk, scales, sqs, start = inp
+        dots_i32 = jnp.dot(q_i8, chunk.T, preferred_element_type=jnp.int32)
+        dots = dots_i32.astype(jnp.float32) * q_scale[:, None] * scales[None, :]
+        scores = 2.0 * dots - sqs[None, :] if metric == "L2" else dots
+        gidx = start + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(gidx < n_valid, scores, NEG_INF)
+        _, cp = lax.approx_max_k(scores, kc, recall_target=recall_target)
+        return None, cp.astype(jnp.int32) + start
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
+    _, cand_ids = lax.scan(step, None, (db_c, sc_c, sq_c, starts))
+    # (n_chunks, Q, kc) -> (Q, n_chunks*kc); chunks are disjoint row ranges,
+    # so candidate ids are unique (invalid ones are masked below)
+    cand_ids = jnp.transpose(cand_ids, (1, 0, 2)).reshape(nq, -1)
+
+    cand_valid = cand_ids < n_valid
+    safe_ids = jnp.where(cand_valid, cand_ids, 0)
+    if shadow is not None:
+        cand_rows = shadow[safe_ids].astype(jnp.float32)   # (Q, C, D)
+    else:
+        cand_rows = (
+            db_i8[safe_ids].astype(jnp.float32)
+            * db_scale[safe_ids][..., None]
+        )
+    cand_sq = db_sq[safe_ids]                              # (Q, C)
+    qf = q.astype(jnp.float32)
+    dots = jnp.einsum(
+        "qd,qcd->qc", qf, cand_rows, preferred_element_type=jnp.float32
+    )
+    scores = 2.0 * dots - cand_sq if metric == "L2" else dots
+    scores = jnp.where(cand_valid, scores, NEG_INF)
+
+    k_eff = min(k, scores.shape[1])
+    best, pos = lax.top_k(scores, k_eff)
+    best_i = jnp.take_along_axis(cand_ids, pos, axis=1)
+    valid = best > NEG_INF
+    best_i = jnp.where(valid, best_i, -1)
+    if metric == "L2":
+        dist = jnp.maximum(q_sq[:, None] - best, 0.0)
+        values = jnp.where(valid, dist, jnp.inf)
+    else:
+        values = jnp.where(valid, best, -jnp.inf)
     if k_eff < k:
         fill = jnp.inf if metric == "L2" else -jnp.inf
         values = jnp.concatenate(

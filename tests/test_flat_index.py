@@ -155,3 +155,83 @@ def test_int8_edge_cases(rng):
     assert (ids[:, 4:] == -1).all()
     assert np.isinf(np.asarray(vals)[:, 4:]).all()
     assert set(ids[0, :4]) == {0, 1, 2, 3}
+
+
+def test_int8_rerank_selector(rng):
+    """Two-stage retrieve-then-rerank: recall at least as good as plain int8,
+    and reranked distances are bf16-exact (not quantized)."""
+    from .test_distance import numpy_exact
+
+    db = rng.standard_normal((2048, 64)).astype(np.float32)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    idx = FlatIndex(64, dtype="int8", selector="rerank")
+    idx.add(db)
+    vals, ids = idx.search(q, 10, chunk_size=512)  # multi-chunk candidates
+    ref_vals, ref_ids = numpy_exact(q, db, 10, "L2")
+    ids = np.asarray(ids)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(ids, ref_ids)
+    ])
+    assert recall >= 0.97, recall
+    # the exact rerank stage returns full-precision distances (bf16 gather,
+    # f32 accumulation): much tighter than int8's rtol=0.05
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=0.02, atol=0.1)
+
+
+def test_int8_rerank_ip_and_edge_cases(rng):
+    from .test_distance import numpy_exact
+
+    db = rng.standard_normal((300, 32)).astype(np.float32)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    idx = FlatIndex(32, metric="IP", dtype="int8", selector="rerank")
+    # empty-index search first (edge rule)
+    vals, ids = idx.search(q, 5)
+    assert (np.asarray(ids) == -1).all()
+    idx.add(db)
+    _, ids = idx.search(q, 5)
+    _, ref_ids = numpy_exact(q, db, 5, "IP")
+    recall = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(np.asarray(ids), ref_ids)
+    ])
+    assert recall >= 0.95
+    # k > ntotal
+    small = FlatIndex(8, dtype="int8", selector="rerank")
+    small.add(rng.standard_normal((4, 8)).astype(np.float32))
+    vals, ids = small.search(rng.standard_normal((2, 8)).astype(np.float32), 10)
+    ids = np.asarray(ids)
+    assert ids.shape == (2, 10)
+    assert (ids[:, 4:] == -1).all()
+    assert set(ids[0, :4]) == {0, 1, 2, 3}
+
+
+def test_int8_rerank_persistence_round_trip(rng, tmp_path):
+    """state_dict/from_state_dict keeps the bf16 shadow bit-exact."""
+    db = rng.standard_normal((128, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    idx = FlatIndex(16, dtype="int8", selector="rerank")
+    idx.add(db)
+    d1, i1 = idx.search(q, 5)
+    state = idx.state_dict()
+    assert "shadow" in state
+    loaded = FlatIndex.from_state_dict(state, selector="rerank")
+    assert loaded._shadow is not None
+    d2, i2 = loaded.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_rerank_requires_int8():
+    with np.testing.assert_raises(ValueError):
+        FlatIndex(16, dtype="float32", selector="rerank")
+
+
+def test_recall_target_defaults():
+    from rag_faiss_embedding_tpu.ops.quantize import DEFAULT_INT8_RECALL_TARGET
+
+    assert FlatIndex(16, dtype="int8", selector="approx").recall_target == \
+        DEFAULT_INT8_RECALL_TARGET
+    assert FlatIndex(16, selector="approx").recall_target == 0.99
+    assert FlatIndex(16, dtype="int8", selector="rerank").recall_target == 0.99
+    assert FlatIndex(16, dtype="int8", recall_target=0.9).recall_target == 0.9
