@@ -283,73 +283,78 @@ def main() -> None:
         print(f"# library-class recall guard failed: {type(e).__name__}: {e}")
 
     # ------------------------------------------------------------- IVF tier
+    # The fused batched kernel (ops/ivf_scan.py) IS the shipped
+    # IVFFlatIndex.search path; the bench wraps fused_ivf_search_math in the
+    # checksum harness and sweeps nprobe. int8 storage composes IVF pruning
+    # with the int8 bandwidth/MXU win — the only route past the flat-scan
+    # roofline (docs/PERF.md).
     ivf_extras = {}
     if not os.environ.get("RFE_BENCH_NO_IVF"):
         try:
-            from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex, \
-                probe_scan_math
-            from rag_faiss_embedding_tpu.ops import distance as ivf_dist
+            from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+            from rag_faiss_embedding_tpu.ops.ivf_scan import (
+                fused_ivf_search_math,
+                pick_query_chunk,
+            )
 
             idx = IVFFlatIndex(DIM, nlist=4096 if n_db >= 500_000 else 64,
-                               dtype="bfloat16", train_iters=10)
+                               dtype="int8", train_iters=10)
             t0 = time.perf_counter()
-            idx.build(db_c.reshape(n_db, DIM))
+            idx.build(db_c32.reshape(n_db, DIM))
             build_s = time.perf_counter() - t0
             ivf_extras["index_build_vectors_per_s"] = round(n_db / build_s, 1)
-
-            cents = idx.centroids.astype(jnp.bfloat16)
             window = idx._window
+            spill = idx._pending_dev() if idx._pending.ntotal else None
+            fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
+                          idx._sorted_scales, idx._sorted_sq, idx._sorted_ids,
+                          idx._offsets_ext, idx._lengths_ext)
 
-            # sub-chunk queries: the (Qc, nprobe, window, D) f32 probe gather
-            # at Qc=1024, window~1024, nprobe=4 is ~6 GB -> OOM; Qc=128 keeps
-            # it under 1 GB
-            qsub = 128
+            def make_ivf(nprobe, qc):
+                def many(qs, *args):
+                    if spill is not None:
+                        args, sp = args[:-4], args[-4:]
+                    else:
+                        sp = None
+                    v, i = fused_ivf_search_math(
+                        qs.reshape(-1, qc, DIM), *args, sp,
+                        k=K, nprobe=nprobe, window=window, metric="L2",
+                        recall_target=idx.recall_target,
+                    )
+                    v = jnp.where(jnp.isfinite(v), v, 0.0)
+                    return v.sum() + i.sum().astype(jnp.float32)
+                return jax.jit(many)
 
-            def make_ivf(nprobe):
-                @jax.jit
-                def many(qs, sv, ssq, sid, off, lens, c):
-                    qs = qs.reshape(-1, qsub, DIM)
-
-                    def body(acc, q):
-                        _, probes = ivf_dist._exact_search_impl(
-                            q, c, nprobe, metric="L2", db_sq=None,
-                            n_valid=jnp.int32(c.shape[0]),
-                            chunk_size=c.shape[0],
-                        )
-                        v, i = probe_scan_math(
-                            q.astype(jnp.float32), sv, ssq, sid, off, lens,
-                            probes, k=K, window=window,
-                        )
-                        return acc + v.sum() + i.sum().astype(jnp.float32), None
-                    acc, _ = jax.lax.scan(body, jnp.float32(0.0), qs)
-                    return acc
-                return many
-
-            ivf_args = (idx._sorted_vecs, idx._sorted_sq, idx._sorted_ids,
-                        idx._offsets, idx._lengths, cents)
             sweep = {}
             best = None
             for nprobe in (1, 2, 4):
-                _, pred = idx.search(qstack[0][:RECALL_QUERIES], K,
+                # recall through the shipped CLASS path (identical kernel)
+                _, pred = idx.search(qstack32[0][:RECALL_QUERIES], K,
                                      nprobe=nprobe)
                 pred = np.asarray(pred)
                 hits = sum(len(set(p.tolist()) & set(t.tolist()))
                            for p, t in zip(pred, truth))
                 rec = hits / truth.size
-                many = make_ivf(nprobe)
-                float(many(qstack, *ivf_args))
+                qc = pick_query_chunk(nprobe, window, DIM, 1,
+                                      REPS * Q_BATCH)
+                many = make_ivf(nprobe, qc)
+                args = fused_args + (spill if spill is not None else ())
+                qflat = qstack32.reshape(-1, DIM)
+                float(many(qflat, *args))
                 t0 = time.perf_counter()
                 float(trivial(sq_c))
                 rtt = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                float(many(qstack, *ivf_args))
+                float(many(qflat, *args))
                 per = max((time.perf_counter() - t0 - rtt) / REPS, 1e-9)
                 qps = Q_BATCH / per
                 sweep[str(nprobe)] = {"qps": round(qps, 1),
-                                      "recall_at_10": round(rec, 4)}
-                if rec >= 0.99 and best is None:
+                                      "recall_at_10": round(rec, 4),
+                                      "query_chunk": qc}
+                if rec >= 0.99 and (best is None or qps > best[1]):
                     best = (nprobe, qps, rec)
             ivf_extras["ivf_sweep"] = sweep
+            ivf_extras["ivf_window"] = window
+            ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)
             if best is not None:
                 results["ivf"] = {"qps": best[1], "batch_ms": Q_BATCH / best[1] * 1e3,
                                   "rtt_ms": 0.0}

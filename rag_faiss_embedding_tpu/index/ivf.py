@@ -3,7 +3,8 @@
 TPU-native analog of ``faiss.IndexIVFFlat`` (BASELINE.md config #3: nlist=4096
 build, nprobe sweep, recall parity at equal memory). The reference never gets
 past flat indexes; this is the tier for corpora past HBM-comfortable flat
-scan.
+scan — and, with int8 storage, the only tier whose throughput ceiling exceeds
+the chip's full-scan matmul roofline (it prunes the matmul itself).
 
 TPU-first design decisions (SURVEY.md §7 "IVF irregularity on TPU"):
 - vectors are stored CLUSTER-SORTED in one contiguous device buffer (plus
@@ -12,9 +13,15 @@ TPU-first design decisions (SURVEY.md §7 "IVF irregularity on TPU"):
   padded to 128) starting at the list offset, with a validity mask —
   variable-length lists become fixed-shape gathers XLA can vectorize; rows
   of lists longer than C spill into the exactly-scanned pending tier;
-- search = coarse exact top-nprobe over centroids (same fused scan as the
-  flat tier) -> windowed gather of probed lists -> masked distance + top-k,
-  all jitted with static (nprobe, C, k);
+- the default search path is the FUSED batched kernel (ops/ivf_scan.py):
+  coarse scan + dedup'd union gather + one MXU matmul + approx top-k +
+  spill merge in ONE jitted program (the per-query windowed path below is
+  the semantics reference and the small-batch fallback);
+- storage may be float32, bfloat16, or int8 (SQ8: symmetric per-row scales,
+  EXACT fp32 row norms, int8 MXU matmul — ops/quantize.py rationale), so
+  IVF pruning and int8 bandwidth compose;
+- metric is "L2" or "IP"; IP uses spherical k-means (normalized centroids,
+  dot-product assignment) so the coarse partition matches the probe rule;
 - streaming adds land in a flat exactly-scanned pending tier (device
   resident) that is merged by ``rebuild()`` — adds never degrade recall
   (BASELINE.md config #5), unlike append-in-place schemes that skew lists.
@@ -34,7 +41,9 @@ import numpy as np
 
 from ..core.logging import get_logger
 from ..ops import distance as dist_ops
+from ..ops.ivf_scan import fused_ivf_search
 from ..ops.kmeans import assign as kmeans_assign, train_kmeans
+from ..ops.quantize import DEFAULT_INT8_RECALL_TARGET, quantize_rows
 from .flat import FlatIndex, _round_up
 
 logger = get_logger(__name__)
@@ -51,8 +60,9 @@ def probe_scan_math(
     k: int,
     window: int,  # C
 ):
-    """Fixed-window masked probe scan (shared by the single-chip tier and
-    parallel/sharded_ivf's per-device kernel — keep ONE implementation)."""
+    """Per-query fixed-window masked probe scan (semantics reference for the
+    fused kernel; also the per-device kernel in parallel/sharded_ivf — keep
+    ONE implementation)."""
     nq, d = q.shape
     p = probe_lists.shape[1]
     starts = offsets[probe_lists]                       # (Q, P)
@@ -102,29 +112,39 @@ class IVFFlatIndex:
         device: Optional[jax.Device] = None,
         train_iters: int = 20,
         seed: int = 0,
+        recall_target: Optional[float] = None,
     ):
-        if metric != "L2":
-            # IP-IVF needs spherical k-means; deferred — flat tier covers IP.
-            raise ValueError("IVFFlatIndex currently supports metric='L2' only")
-        if jnp.dtype(dtype) == jnp.int8:
-            # SQ8 lives in the flat tier; IVF+SQ8 needs scale-aware probes.
-            raise ValueError("IVFFlatIndex supports float32/bfloat16 storage")
+        if metric not in ("L2", "IP"):
+            raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
         self.dim = int(dim)
         self.nlist = int(nlist)
         self.metric = metric
         self.nprobe = int(nprobe)
         self.dtype = jnp.dtype(dtype)
+        self.quantized = self.dtype == jnp.int8
         self.device = device if device is not None else jax.devices()[0]
         self.train_iters = train_iters
         self.seed = seed
+        # selection recall_target for the fused path's approx_max_k; int8
+        # scores carry quantization error on top (same rationale as flat,
+        # docs/PERF.md measured sweep)
+        self.recall_target = float(
+            recall_target if recall_target is not None
+            else (DEFAULT_INT8_RECALL_TARGET if self.quantized else 0.99)
+        )
 
         self.is_trained = False
-        self.centroids: Optional[jax.Array] = None
-        self._sorted_vecs: Optional[jax.Array] = None
+        self.centroids: Optional[jax.Array] = None   # (nlist, D) f32
+        self._cent_store: Optional[jax.Array] = None  # coarse-scan dtype
+        self._cent_sq: Optional[jax.Array] = None
+        self._sorted_vecs: Optional[jax.Array] = None  # codes if quantized
+        self._sorted_scales: Optional[jax.Array] = None
         self._sorted_sq: Optional[jax.Array] = None
         self._sorted_ids: Optional[jax.Array] = None
         self._offsets: Optional[jax.Array] = None
         self._lengths: Optional[jax.Array] = None
+        self._offsets_ext: Optional[jax.Array] = None  # +sentinel slot
+        self._lengths_ext: Optional[jax.Array] = None
         self._window = 0
         self._n_built = 0
         # exact pending tier for streaming adds
@@ -141,6 +161,7 @@ class IVFFlatIndex:
         self.rebuild_threshold = 0.25  # rebuild when STREAMED > 25% of built
         self.window_quantile = 0.98  # cap probe window at this list-length
         #                              quantile; longer lists spill overflow
+        self.use_fused = True  # per-query windowed path kept as fallback
 
     # ------------------------------------------------------------- building
     @property
@@ -155,7 +176,8 @@ class IVFFlatIndex:
                            self.nlist, nlist)
             self.nlist = nlist
         self.centroids, _ = train_kmeans(
-            vecs, self.nlist, n_iters=self.train_iters, seed=self.seed
+            vecs, self.nlist, n_iters=self.train_iters, seed=self.seed,
+            spherical=(self.metric == "IP"),
         )
         self.is_trained = True
 
@@ -168,21 +190,27 @@ class IVFFlatIndex:
         window size. The previous host-side sort round-tripped the whole
         corpus through the (slow) host link: 1.5 GB at 1M x 384.
         """
-        vecs = jnp.asarray(vectors, self.dtype)
-        n = vecs.shape[0]
+        vecs_f32 = jnp.asarray(vectors, jnp.float32)
+        n = vecs_f32.shape[0]
         if not self.is_trained:
-            self.train(vecs)
+            self.train(vecs_f32)
         # point-chunked assignment: a full (N, nlist) score matrix is 16 GB
         # at 1M x 4096
-        assignments, _ = kmeans_assign(vecs, self.centroids)
+        assignments, _ = kmeans_assign(vecs_f32, self.centroids,
+                                       metric=self.metric)
         order = jnp.argsort(assignments, stable=True)
         sorted_assign = assignments[order]
         lengths = jnp.bincount(sorted_assign, length=self.nlist).astype(jnp.int32)
         offsets = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(lengths)[:-1]]
         )
-        sorted_vecs = vecs[order]
-        sorted_sq = dist_ops.sqnorms(sorted_vecs)
+        sorted_f32 = vecs_f32[order]
+        sorted_sq = dist_ops.sqnorms(sorted_f32)  # exact, pre-quantization
+        if self.quantized:
+            sorted_vecs, sorted_scales = quantize_rows(sorted_f32)
+        else:
+            sorted_vecs = sorted_f32.astype(self.dtype)
+            sorted_scales = None
         if row_ids is None:
             sorted_ids = order.astype(jnp.int32)
         else:
@@ -210,7 +238,7 @@ class IVFFlatIndex:
             ]).astype(np.int64)
             self._spill_pos = spill_pos
             pos_dev = jnp.asarray(spill_pos)
-            self._pending.add(sorted_vecs[pos_dev])
+            self._pending.add(sorted_f32[pos_dev])
             self._pending_rowids = np.asarray(sorted_ids[pos_dev])
             self._pending_rowids_dev = None
             lengths = jnp.minimum(lengths, cap)
@@ -227,12 +255,33 @@ class IVFFlatIndex:
         self._sorted_vecs = jax.device_put(
             jnp.pad(sorted_vecs, ((0, pad), (0, 0))), self.device
         )
+        self._sorted_scales = (
+            jax.device_put(jnp.pad(sorted_scales, (0, pad)), self.device)
+            if sorted_scales is not None else None
+        )
         self._sorted_sq = jax.device_put(jnp.pad(sorted_sq, (0, pad)), self.device)
         self._sorted_ids = jax.device_put(
             jnp.pad(sorted_ids, (0, pad), constant_values=-1), self.device
         )
         self._offsets = jax.device_put(offsets, self.device)
         self._lengths = jax.device_put(lengths, self.device)
+        # sentinel slot (offset 0, length 0) indexed by dedup'd duplicates
+        # in the fused union kernel
+        self._offsets_ext = jax.device_put(
+            jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)]), self.device
+        )
+        self._lengths_ext = jax.device_put(
+            jnp.concatenate([lengths, jnp.zeros((1,), jnp.int32)]), self.device
+        )
+        # coarse-scan centroid copy: storage dtype (bf16 for int8 indexes —
+        # the coarse ranking only picks lists, full precision is wasted BW)
+        cdtype = jnp.bfloat16 if self.quantized else self.dtype
+        self._cent_store = jax.device_put(
+            self.centroids.astype(cdtype), self.device
+        )
+        self._cent_sq = jax.device_put(
+            dist_ops.sqnorms(self.centroids), self.device
+        )
         self._window = window
         self._n_built = n
         self._next_id = n
@@ -244,7 +293,7 @@ class IVFFlatIndex:
     def add(self, vectors: np.ndarray | jax.Array) -> None:
         """Streaming add into the exact pending tier; auto-rebuild when the
         pending tier outgrows ``rebuild_threshold`` of the built tier."""
-        vecs = jnp.asarray(vectors, self.dtype)
+        vecs = jnp.asarray(vectors)
         if vecs.ndim == 1:
             vecs = vecs[None, :]
         if not self.is_trained:
@@ -272,6 +321,24 @@ class IVFFlatIndex:
         self.build(all_vecs)
 
     # -------------------------------------------------------------- search
+    def _pending_dev(self) -> Tuple[jax.Array, ...]:
+        """Spill/streaming tier as fused-kernel inputs: (codes, scales|None,
+        sqnorms, global row ids padded to capacity with -1)."""
+        if self._pending_rowids_dev is None or (
+            self._pending_rowids_dev.shape[0] != self._pending._capacity
+        ):
+            ids = np.full((self._pending._capacity,), -1, np.int32)
+            ids[: len(self._pending_rowids)] = self._pending_rowids
+            self._pending_rowids_dev = jax.device_put(
+                jnp.asarray(ids), self.device
+            )
+        return (
+            self._pending._buf,
+            self._pending._scales,
+            self._pending._sq,
+            self._pending_rowids_dev,
+        )
+
     def _probe_query_chunk(self, nprobe: int) -> int:
         """Queries per probe-scan chunk so the (Qc, P, C, D) gather stays
         within a ~2 GB budget (at 1M x nlist=4096, nprobe=64 the full-batch
@@ -287,23 +354,48 @@ class IVFFlatIndex:
         nprobe: Optional[int] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         nprobe = min(nprobe or self.nprobe, self.nlist)
-        q = jnp.asarray(queries, self.dtype)
+        q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
         nq = q.shape[0]
         if self.ntotal == 0:
+            fill = jnp.inf if self.metric == "L2" else -jnp.inf
             return (
-                jnp.full((nq, k), jnp.inf, jnp.float32),
+                jnp.full((nq, k), fill, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
             )
         if self._n_built == 0:
-            return self._pending.search(q, k)
+            vals, pidx = self._pending.search(q, k)
+            rowids = self._pending_dev()[3]
+            pidx = jnp.where(pidx >= 0, rowids[jnp.maximum(pidx, 0)], -1)
+            return vals, pidx
+        if self.use_fused:
+            spill = self._pending_dev() if self._pending.ntotal else None
+            return fused_ivf_search(
+                q, self._cent_store, self._cent_sq,
+                self._sorted_vecs, self._sorted_scales,
+                self._sorted_sq, self._sorted_ids,
+                self._offsets_ext, self._lengths_ext, spill,
+                k=k, nprobe=nprobe, window=self._window, metric=self.metric,
+                recall_target=self.recall_target,
+            )
+        return self._search_windowed(q, k, nprobe)
 
+    def _search_windowed(
+        self, q: jax.Array, k: int, nprobe: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Per-query windowed path (L2, full-precision storage only) — the
+        fused kernel's semantics reference; kept for A/B and small batches."""
+        if self.quantized or self.metric != "L2":
+            raise ValueError(
+                "windowed path supports metric='L2' float storage; "
+                "use the fused path (use_fused=True)"
+            )
+        nq = q.shape[0]
         _, probe_lists = dist_ops.exact_search(
             q, self.centroids, nprobe, metric="L2",
             chunk_size=min(65536, self.nlist),
         )
-
         qc = self._probe_query_chunk(nprobe)
         if nq <= qc:
             dist, ids = _probe_scan(
@@ -329,11 +421,7 @@ class IVFFlatIndex:
             ids = jnp.concatenate([p[1] for p in parts])[:nq]
         if self._pending.ntotal:
             pvals, pidx = self._pending.search(q, k)
-            if self._pending_rowids_dev is None:  # refresh device mirror
-                self._pending_rowids_dev = jax.device_put(
-                    jnp.asarray(self._pending_rowids), self.device
-                )
-            rowids = self._pending_rowids_dev
+            rowids = self._pending_dev()[3]
             pidx = jnp.where(
                 pidx >= 0, rowids[jnp.maximum(pidx, 0)], -1
             )
@@ -355,11 +443,16 @@ class IVFFlatIndex:
     def reset(self) -> None:
         self.is_trained = False
         self.centroids = None
+        self._cent_store = None
+        self._cent_sq = None
         self._sorted_vecs = None
+        self._sorted_scales = None
         self._sorted_sq = None
         self._sorted_ids = None
         self._offsets = None
         self._lengths = None
+        self._offsets_ext = None
+        self._lengths_ext = None
         self._window = 0
         self._n_built = 0
         self._next_id = 0
@@ -371,17 +464,27 @@ class IVFFlatIndex:
 
     def vectors(self) -> np.ndarray:
         """Live vectors in original insertion order (spilled rows counted
-        once, via the pending tier)."""
+        once, via the pending tier). int8 indexes return the dequantized
+        reconstruction (codes survive a re-quantization round trip exactly:
+        the amax element maps back to ±127)."""
         all_vecs = []
         all_ids = []
         if self._n_built:
-            built = np.asarray(self._sorted_vecs[: self._n_built])
+            built = self._sorted_vecs[: self._n_built]
+            if self.quantized:
+                from ..ops.quantize import dequantize
+
+                built = np.asarray(
+                    dequantize(built, self._sorted_scales[: self._n_built])
+                )
+            else:
+                built = np.asarray(built)
             ids = np.asarray(self._sorted_ids[: self._n_built])
             if len(self._spill_pos):
                 keep = np.ones(self._n_built, bool)
                 keep[self._spill_pos] = False
                 built, ids = built[keep], ids[keep]
-            all_vecs.append(built)
+            all_vecs.append(built.astype(np.float32))
             all_ids.append(ids)
         if self._pending.ntotal:
             all_vecs.append(self._pending.vectors())
@@ -393,20 +496,62 @@ class IVFFlatIndex:
         return vecs[np.argsort(ids, kind="stable")]
 
     # ---------------------------------------------------------------- io
+    def _host(self, arr: Optional[jax.Array], n: int) -> np.ndarray:
+        """First n rows as a savez-able numpy array (bf16 -> uint16 bits)."""
+        rows = arr[:n]
+        if rows.dtype == jnp.bfloat16:
+            rows = rows.view(jnp.uint16)
+        return np.asarray(rows)
+
     def state_dict(self) -> dict:
-        return {
+        """Exact state: the sorted arrays + pending tier are persisted as-is
+        (format "sorted_v2"), so reload is LOSSLESS for every storage dtype —
+        no rebuild-from-dequantized drift, no O(N*nlist) re-assignment on
+        load. (Analog of ``faiss.write_index`` keeping the inverted lists,
+        ``faiss_store.py:83-97``.)"""
+        n = self._n_built
+        state = {
             "kind": "ivf",
+            "format": "sorted_v2",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
             "nlist": self.nlist,
             "nprobe": self.nprobe,
             "window_quantile": self.window_quantile,
+            "window": self._window,
+            "next_id": self._next_id,
+            "n_streamed": self._n_streamed,
             "centroids": np.asarray(self.centroids)
             if self.centroids is not None
             else np.zeros((0, self.dim), np.float32),
-            "vectors": self.vectors(),
         }
+        if n:
+            state.update({
+                "codes": self._host(self._sorted_vecs, n),
+                "sqnorms": np.asarray(self._sorted_sq[:n]),
+                "sorted_ids": np.asarray(self._sorted_ids[:n]),
+                "offsets": np.asarray(self._offsets),
+                "lengths": np.asarray(self._lengths),
+                "spill_pos": self._spill_pos,
+            })
+            if self.quantized:
+                state["scales"] = np.asarray(self._sorted_scales[:n])
+        if self._pending.ntotal:
+            p = self._pending
+            state.update({
+                "pending_codes": self._host(p._buf, p.ntotal),
+                "pending_sq": np.asarray(p._sq[: p.ntotal]),
+                "pending_rowids": self._pending_rowids,
+            })
+            if self.quantized:
+                state["pending_scales"] = np.asarray(p._scales[: p.ntotal])
+        return state
+
+    def _codes_from_host(self, arr: np.ndarray) -> jax.Array:
+        if self.dtype == jnp.bfloat16:
+            return jnp.asarray(arr, jnp.uint16).view(jnp.bfloat16)
+        return jnp.asarray(arr, self.dtype)
 
     @classmethod
     def from_state_dict(cls, state: dict, **kwargs) -> "IVFFlatIndex":
@@ -425,10 +570,76 @@ class IVFFlatIndex:
         if "window_quantile" in state:
             idx.window_quantile = float(item(state["window_quantile"]))
         centroids = np.asarray(state["centroids"])
-        vectors = np.asarray(state["vectors"])
         if centroids.size:
             idx.centroids = jnp.asarray(centroids)
             idx.is_trained = True
-        if len(vectors):
-            idx.build(vectors)
+
+        fmt = str(item(state.get("format", "")))
+        if fmt != "sorted_v2":  # legacy: insertion-order vectors -> rebuild
+            vectors = np.asarray(state["vectors"])
+            if len(vectors):
+                idx.build(vectors)
+            return idx
+
+        idx._window = int(item(state["window"]))
+        idx._next_id = int(item(state["next_id"]))
+        idx._n_streamed = int(item(state["n_streamed"]))
+        if "codes" in state:
+            codes = idx._codes_from_host(np.asarray(state["codes"]))
+            n = codes.shape[0]
+            pad = idx._window
+            dev = idx.device
+            idx._sorted_vecs = jax.device_put(
+                jnp.pad(codes, ((0, pad), (0, 0))), dev
+            )
+            if idx.quantized:
+                idx._sorted_scales = jax.device_put(
+                    jnp.pad(jnp.asarray(state["scales"], jnp.float32),
+                            (0, pad)), dev
+                )
+            idx._sorted_sq = jax.device_put(
+                jnp.pad(jnp.asarray(state["sqnorms"], jnp.float32), (0, pad)),
+                dev,
+            )
+            idx._sorted_ids = jax.device_put(
+                jnp.pad(jnp.asarray(state["sorted_ids"], jnp.int32), (0, pad),
+                        constant_values=-1), dev
+            )
+            offsets = jnp.asarray(state["offsets"], jnp.int32)
+            lengths = jnp.asarray(state["lengths"], jnp.int32)
+            idx._offsets = jax.device_put(offsets, dev)
+            idx._lengths = jax.device_put(lengths, dev)
+            idx._offsets_ext = jax.device_put(
+                jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)]), dev
+            )
+            idx._lengths_ext = jax.device_put(
+                jnp.concatenate([lengths, jnp.zeros((1,), jnp.int32)]), dev
+            )
+            cdtype = jnp.bfloat16 if idx.quantized else idx.dtype
+            idx._cent_store = jax.device_put(
+                idx.centroids.astype(cdtype), dev
+            )
+            idx._cent_sq = jax.device_put(
+                dist_ops.sqnorms(idx.centroids), dev
+            )
+            idx._spill_pos = np.asarray(state["spill_pos"], np.int64)
+            idx._n_built = n
+        if "pending_codes" in state:
+            p_state = {
+                "dim": idx.dim, "metric": idx.metric, "dtype": str(idx.dtype),
+                "vectors": np.asarray(state["pending_codes"]),
+                "sqnorms": np.asarray(state["pending_sq"]),
+            }
+            if idx.quantized:
+                p_state["scales"] = np.asarray(state["pending_scales"])
+            elif idx.dtype == jnp.bfloat16:
+                p_state["vectors"] = np.asarray(
+                    jnp.asarray(state["pending_codes"], jnp.uint16)
+                    .view(jnp.bfloat16).astype(jnp.float32)
+                )
+            idx._pending = FlatIndex.from_state_dict(
+                p_state, device=idx.device
+            )
+            idx._pending_rowids = np.asarray(state["pending_rowids"], np.int32)
+            idx._pending_rowids_dev = None
         return idx

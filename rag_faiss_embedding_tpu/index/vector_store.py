@@ -103,17 +103,7 @@ class VectorStore:
         path.parent.mkdir(parents=True, exist_ok=True)
         state = self.index.state_dict()
         np.savez_compressed(
-            path,
-            kind=np.asarray(state["kind"]),
-            dim=np.asarray(state["dim"]),
-            metric=np.asarray(state["metric"]),
-            dtype=np.asarray(state["dtype"]),
-            vectors=state["vectors"],
-            **{
-                k: v
-                for k, v in state.items()
-                if k not in ("kind", "dim", "metric", "dtype", "vectors")
-            },
+            path, **{k: np.asarray(v) for k, v in state.items()}
         )
         # np.savez appends .npz unless present; normalize to the exact path.
         written = path if path.suffix == ".npz" else path.with_name(path.name + ".npz")

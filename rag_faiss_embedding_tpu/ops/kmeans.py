@@ -30,20 +30,23 @@ logger = get_logger(__name__)
 
 
 def assign(
-    x: jax.Array, centroids: jax.Array, point_chunk: int = 65536
+    x: jax.Array, centroids: jax.Array, point_chunk: int = 65536,
+    metric: str = "L2",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Nearest centroid per row: (assignments, distances).
+    """Best centroid per row: (assignments, values).
 
+    metric="L2" minimizes squared distance; "IP" maximizes the dot product
+    (spherical k-means assignment — the coarse rule IP-IVF probes with).
     Chunks over the POINT axis: at 1M points x 4096 centroids the full score
     matrix is 16 GB — each chunk keeps it at (point_chunk, nlist)."""
     n = x.shape[0]
     if n <= point_chunk:
-        vals, idx = dist_ops.exact_search(x, centroids, 1, metric="L2")
+        vals, idx = dist_ops.exact_search(x, centroids, 1, metric=metric)
         return idx[:, 0], vals[:, 0]
     idx_parts, val_parts = [], []
     for start in range(0, n, point_chunk):
         vals, idx = dist_ops.exact_search(
-            x[start : start + point_chunk], centroids, 1, metric="L2"
+            x[start : start + point_chunk], centroids, 1, metric=metric
         )
         idx_parts.append(idx[:, 0])
         val_parts.append(vals[:, 0])
@@ -89,6 +92,11 @@ def _kmeanspp_init(x: jax.Array, nlist: int, key: jax.Array) -> jax.Array:
     return cents
 
 
+def _normalize_rows(c: jax.Array) -> jax.Array:
+    norm = jnp.linalg.norm(c, axis=1, keepdims=True)
+    return c / jnp.maximum(norm, 1e-12)
+
+
 def train_kmeans(
     x: np.ndarray | jax.Array,
     nlist: int,
@@ -97,17 +105,24 @@ def train_kmeans(
     tol: float = 1e-4,
     verbose: bool = False,
     init_sample: int = 256,
+    spherical: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd k-means with k-means++ init.
 
     Returns (centroids (nlist, D) f32, assignments (N,)). k-means++ runs on a
     subsample of up to ``init_sample * nlist`` points (FAISS's default
     training-subsample policy) to bound the O(nlist * n * d) seeding cost.
+
+    ``spherical=True`` is spherical k-means (FAISS ``Clustering`` with
+    ``spherical`` set, used by IP-metric IVF): centroids are L2-normalized
+    after every update and assignment maximizes the inner product, so the
+    partition matches the IP coarse-probe rule at query time.
     """
     x = jnp.asarray(x)
     n, d = x.shape
     if nlist > n:
         raise ValueError(f"nlist={nlist} > n={n}")
+    metric = "IP" if spherical else "L2"
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     max_init = init_sample * nlist
@@ -116,11 +131,13 @@ def train_kmeans(
     else:
         sample = x
     centroids = _kmeanspp_init(sample, nlist, key)
+    if spherical:
+        centroids = _normalize_rows(centroids)
 
     prev_obj = jnp.inf
     for it in range(n_iters):
-        assignments, dists = assign(x, centroids)
-        obj = float(dists.mean())
+        assignments, dists = assign(x, centroids, metric=metric)
+        obj = float(dists.mean()) * (-1.0 if spherical else 1.0)
         new_centroids, counts = _update_step(x, assignments, nlist)
         # re-seed empty clusters from perturbed points of the biggest cluster
         empty = counts == 0
@@ -135,11 +152,13 @@ def train_kmeans(
             new_centroids = jnp.where(
                 empty[:, None], donor[None, :] + jitter, new_centroids
             )
+        if spherical:
+            new_centroids = _normalize_rows(new_centroids)
         centroids = new_centroids
         if verbose:
             logger.info("kmeans iter %d: obj=%.5f empty=%d", it, obj, n_empty)
-        if abs(prev_obj - obj) < tol * max(obj, 1e-12):
+        if abs(prev_obj - obj) < tol * max(abs(obj), 1e-12):
             break
         prev_obj = obj
-    assignments, _ = assign(x, centroids)
+    assignments, _ = assign(x, centroids, metric=metric)
     return centroids, assignments
