@@ -40,10 +40,14 @@ class VectorStore:
         dtype: str = "float32",
         index: Optional[object] = None,
         selector: str = "exact",
+        mesh: Optional[object] = None,
     ):
         self.dimension = dimension
         self.metric = metric
         self.index_path = Path(index_path)
+        # mesh used when loading sharded index kinds; None -> the sharded
+        # classes default to all local devices on a "db" axis
+        self._mesh = mesh
         self.doc_ids: List[int] = []
         self.index = index if index is not None else FlatIndex(
             dimension, metric=metric, dtype=dtype, selector=selector
@@ -129,6 +133,18 @@ class VectorStore:
             from .ivf import IVFFlatIndex
 
             self.index = IVFFlatIndex.from_state_dict(state)
+        elif kind == "sharded_flat":
+            from ..parallel.sharded import ShardedFlatIndex
+
+            self.index = ShardedFlatIndex.from_state_dict(
+                state, mesh=self._mesh
+            )
+        elif kind == "sharded_ivf":
+            from ..parallel.sharded_ivf import ShardedIVFIndex
+
+            self.index = ShardedIVFIndex.from_state_dict(
+                state, mesh=self._mesh
+            )
         else:
             raise ValueError(f"unknown index kind {kind!r}")
         self.dimension = self.index.dim

@@ -192,21 +192,29 @@ class ShardedFlatIndex:
         return per_dev * self.n_dev
 
     def _grow(self, needed: int) -> None:
+        """Grow the sharded buffers ON DEVICE: a jitted zero-pad with sharded
+        output shardings. Rows keep their global positions (the id mapping is
+        positional), so XLA redistributes the shard boundaries over ICI — no
+        multi-GB host round trip (at the 10M-row BASELINE config #4 scale the
+        old host copy moved the whole corpus through the host per growth)."""
         if needed <= self._capacity:
             return
         new_cap = self._capacity
         while new_cap < needed:
             new_cap *= 2
-        host = np.asarray(self._buf)
-        host_sq = np.asarray(self._sq)
-        buf = np.zeros((new_cap, self.dim), host.dtype)
-        sq = np.zeros((new_cap,), np.float32)
-        buf[: self._capacity] = host
-        sq[: self._capacity] = host_sq
+        pad = new_cap - self._capacity
+        pad_buf = jax.jit(
+            lambda b: jnp.pad(b, ((0, pad), (0, 0))),
+            out_shardings=self._sharding,
+        )
+        pad_sq = jax.jit(
+            lambda s: jnp.pad(s, (0, pad)), out_shardings=self._sharding
+        )
+        self._buf = pad_buf(self._buf)
+        self._sq = pad_sq(self._sq)
         self._capacity = new_cap
-        self._buf = jax.device_put(jnp.asarray(buf), self._sharding)
-        self._sq = jax.device_put(jnp.asarray(sq), self._sharding)
-        logger.debug("grew sharded index capacity to %d rows", new_cap)
+        logger.debug("grew sharded index capacity to %d rows (on device)",
+                     new_cap)
 
     @functools.cached_property
     def _update_fns(self):
@@ -267,10 +275,39 @@ class ShardedFlatIndex:
         return np.asarray(self._buf[: self.ntotal])
 
     def state_dict(self) -> dict:
+        # payload layout matches FlatIndex ("vectors" in insertion order), so
+        # a sharded save can also be reloaded single-chip and vice versa; the
+        # kind tag routes VectorStore.load_index back to a sharded instance
         return {
-            "kind": "flat",  # serialized form is identical to FlatIndex
+            "kind": "sharded_flat",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
             "vectors": self.vectors(),
         }
+
+    @classmethod
+    def from_state_dict(
+        cls, state: dict, mesh: Optional[Mesh] = None, **kwargs
+    ) -> "ShardedFlatIndex":
+        """Rebuild from a saved state (the round-1 gap: persistence was
+        one-way). ``mesh`` defaults to all local devices on a "db" axis."""
+        def item(v):
+            v = np.asarray(v)
+            return v.item() if v.ndim == 0 else v
+
+        if mesh is None:
+            from ..core.mesh import make_mesh
+
+            mesh = make_mesh({"db": len(jax.devices())})
+        idx = cls(
+            dim=int(item(state["dim"])),
+            mesh=mesh,
+            metric=str(item(state["metric"])),
+            dtype=str(item(state["dtype"])),
+            **kwargs,
+        )
+        vectors = np.asarray(state["vectors"])
+        if len(vectors):
+            idx.add(vectors)
+        return idx

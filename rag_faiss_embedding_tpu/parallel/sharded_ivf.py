@@ -2,19 +2,31 @@
 
 Combines BASELINE.md configs #3 and #4: corpora past one chip's
 HBM-comfortable flat scan get BOTH the IVF pruning and mesh scale-out.
+The reference has no distributed code at all (SURVEY.md §2 parallelism
+inventory); its single-device analog is ``faiss.IndexIVFFlat``
+(``faiss_store.py:4`` is the C++ engine family being replaced).
 
-Design (TPU-first):
+Design (TPU-first, single-chip parity with index/ivf.py):
 - centroids are trained once on a global sample (ops/kmeans k-means++ +
   Lloyd) and replicated to every device;
-- each device of the ``db`` mesh axis owns a contiguous row range and builds
-  its own cluster-sorted local lists (same fixed-window layout as
-  index/ivf.py, with one COMMON window across devices so shard_map sees
-  uniform shapes);
-- query: coarse top-nprobe over the replicated centroids (computed once,
-  replicated), then under ``shard_map`` each device probes its local lists
-  and emits a local top-k with GLOBAL row ids; one all-gather of
-  (k values, k ids) per query merges across the mesh — same tiny collective
-  as the sharded flat scan.
+- each device of the ``db`` mesh axis owns a contiguous row range and holds
+  its own cluster-sorted local lists; the ENTIRE layout construction —
+  assignment, per-device stable sort, per-device list lengths/offsets,
+  window-overflow spill extraction — happens on device with vectorized
+  (n_dev, rows_per_dev) ops and exactly two tiny host syncs (the window
+  quantile and the spill count), never round-tripping the corpus;
+- the probe window is capped at a list-length quantile (P98 default, same
+  knob as the single-chip tier): k-means skew otherwise makes every probe
+  pay for the longest list. Rows past the cap spill into a per-device
+  exactly-scanned tier, so no row is ever lost;
+- streaming adds land in a host-staged pending tier mirrored to the devices
+  round-robin (uniform shapes for shard_map) and scanned exactly; a rebuild
+  threshold folds them into the lists (BASELINE.md config #5);
+- query: coarse top-nprobe over the replicated centroids, then under
+  ``shard_map`` each device probes its local lists, exactly scans its local
+  spill + pending tiers, merges locally, and emits a local top-k with
+  GLOBAL row ids; one all-gather of (k values, k ids) per query merges
+  across the mesh — the same tiny collective as the sharded flat scan.
 
 Row ids returned are global insertion positions, so VectorStore's
 position->doc-id mapping works unchanged.
@@ -39,13 +51,54 @@ from ..ops.kmeans import assign as kmeans_assign, train_kmeans
 logger = get_logger(__name__)
 
 
+def _tier_scan(q, vecs, sq, ids, count, k):
+    """Local exact scan over a per-device tier (spill / pending): returns
+    (L2 dists, global ids) with invalid slots masked to (inf, -1)."""
+    vals, idx = dist_ops._exact_search_impl(
+        q, vecs, k, metric="L2", db_sq=sq,
+        n_valid=count.astype(jnp.int32),
+        chunk_size=max(1, vecs.shape[0]),
+    )
+    gids = jnp.where(idx >= 0, ids[jnp.maximum(idx, 0)], -1)
+    vals = jnp.where(gids >= 0, vals, jnp.inf)
+    return vals, gids
+
+
+def _merge_local(parts, k):
+    """Merge (dist, gid) candidate sets on the local device (L2 ascending)."""
+    vals = jnp.concatenate([p[0] for p in parts], axis=1)
+    gids = jnp.concatenate([p[1] for p in parts], axis=1)
+    scores = jnp.where(gids >= 0, -vals, dist_ops.NEG_INF)
+    k_eff = min(k, vals.shape[1])
+    best, pos = jax.lax.top_k(scores, k_eff)
+    return (
+        jnp.take_along_axis(vals, pos, axis=1),
+        jnp.take_along_axis(gids, pos, axis=1),
+    )
+
+
 @functools.lru_cache(maxsize=64)
-def _build_sharded_probe(mesh: Mesh, k: int, window: int, db_axis: str):
-    def kernel(q, vecs, sq, ids, offsets, lengths, probes):
+def _build_sharded_probe(
+    mesh: Mesh, k: int, window: int, db_axis: str,
+    has_spill: bool, has_pending: bool,
+):
+    n_tiers = 1 + has_spill + has_pending
+
+    def kernel(q, vecs, sq, ids, offsets, lengths, probes, *tiers):
         vals, gids = probe_scan_math(
             q, vecs[0], sq[0], ids[0], offsets[0], lengths[0], probes,
             k=k, window=window,
         )
+        parts = [(vals, gids)]
+        rest = list(tiers)
+        while rest:
+            t_vecs, t_sq, t_ids, t_count = rest[:4]
+            rest = rest[4:]
+            parts.append(_tier_scan(
+                q, t_vecs[0], t_sq[0], t_ids[0], t_count[0], k
+            ))
+        vals, gids = _merge_local(parts, k) if len(parts) > 1 else parts[0]
+
         all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
         all_ids = jax.lax.all_gather(gids, db_axis, axis=1, tiled=True)
         scores = jnp.where(all_ids >= 0, -all_vals, dist_ops.NEG_INF)
@@ -56,11 +109,12 @@ def _build_sharded_probe(mesh: Mesh, k: int, window: int, db_axis: str):
         out_v = jnp.where(out_i >= 0, out_v, jnp.inf)
         return out_v, out_i
 
+    tier_specs = (P(db_axis),) * (4 * (n_tiers - 1))
     mapped = jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=(P(), P(db_axis), P(db_axis), P(db_axis),
-                  P(db_axis), P(db_axis), P()),
+                  P(db_axis), P(db_axis), P()) + tier_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -68,7 +122,7 @@ def _build_sharded_probe(mesh: Mesh, k: int, window: int, db_axis: str):
 
 
 class ShardedIVFIndex:
-    """IVF-Flat sharded over a device mesh (build once, query many)."""
+    """IVF-Flat sharded over a device mesh (build once, stream, query many)."""
 
     def __init__(
         self,
@@ -97,72 +151,193 @@ class ShardedIVFIndex:
         self.n_dev = mesh.shape[db_axis]
         self.train_iters = train_iters
         self.seed = seed
+        self.window_quantile = 0.98  # single-chip parity (index/ivf.py)
+        self.rebuild_threshold = 0.25
         self.centroids: Optional[jax.Array] = None
-        self.ntotal = 0
-        self._window = 0
         self._sharding = NamedSharding(mesh, P(db_axis))
         self._replicated = NamedSharding(mesh, P())
+        self._clear_state()
 
-    def build(self, vectors: np.ndarray) -> None:
-        """Train centroids globally, build per-device local lists."""
-        vectors = np.asarray(vectors, np.float32)
-        n = len(vectors)
+    def _clear_state(self) -> None:
+        self._vecs = None          # (n_dev, per+window, D) storage dtype
+        self._sq = None            # (n_dev, per+window) f32
+        self._ids = None           # (n_dev, per+window) int32, -1 invalid
+        self._offsets = None       # (n_dev, nlist) int32
+        self._lengths = None       # (n_dev, nlist) int32 (capped)
+        self._spill = None         # None | (vecs, sq, ids, counts) sharded
+        self._window = 0
+        self._n_built = 0
+        self._next_id = 0
+        # streaming pending tier: staged on host, mirrored round-robin
+        self._stream_vecs = np.zeros((0, self.dim), np.float32)
+        self._stream_ids = np.zeros((0,), np.int32)
+        self._pending_dev = None   # None | (vecs, sq, ids, counts) sharded
+
+    @property
+    def ntotal(self) -> int:
+        return self._next_id
+
+    # ------------------------------------------------------------- building
+    def build(self, vectors: np.ndarray | jax.Array) -> None:
+        """Train centroids globally, build per-device local lists ON DEVICE."""
+        vecs = jnp.asarray(vectors, jnp.float32)
+        n = int(vecs.shape[0])
         nlist = min(self.nlist, max(1, n // self.n_dev))
         if nlist != self.nlist:
             logger.warning("reducing nlist %d -> %d", self.nlist, nlist)
             self.nlist = nlist
-        centroids, _ = train_kmeans(
-            jnp.asarray(vectors), self.nlist,
-            n_iters=self.train_iters, seed=self.seed,
+        if self.centroids is None or self.centroids.shape[0] != self.nlist:
+            self.centroids, _ = train_kmeans(
+                vecs, self.nlist, n_iters=self.train_iters, seed=self.seed,
+            )
+        cent_rep = jax.device_put(self.centroids, self._replicated)
+
+        # ---- vectorized per-device layout (one argsort over (n_dev, per))
+        assigns, _ = kmeans_assign(vecs, self.centroids)
+        per = -(-n // self.n_dev)
+        n_pad = per * self.n_dev
+        a2 = jnp.pad(assigns.astype(jnp.int32), (0, n_pad - n),
+                     constant_values=self.nlist).reshape(self.n_dev, per)
+        order = jnp.argsort(a2, axis=1, stable=True)  # sentinel pads sort last
+        sorted_a = jnp.take_along_axis(a2, order, axis=1)
+        valid = sorted_a < self.nlist
+        lengths = jax.vmap(
+            lambda aa, ww: jax.ops.segment_sum(
+                ww, jnp.clip(aa, 0, self.nlist - 1), num_segments=self.nlist
+            )
+        )(sorted_a, valid.astype(jnp.int32)).astype(jnp.int32)
+        offsets = jnp.concatenate(
+            [jnp.zeros((self.n_dev, 1), jnp.int32),
+             jnp.cumsum(lengths, axis=1)[:, :-1]], axis=1
         )
-        self.centroids = jax.device_put(centroids, self._replicated)
-
-        # split rows contiguously across devices (global id = position)
-        per_dev = -(-n // self.n_dev)
-        dev_rows = [
-            (d * per_dev, min((d + 1) * per_dev, n)) for d in range(self.n_dev)
-        ]
-        assigns = np.asarray(
-            kmeans_assign(jnp.asarray(vectors), centroids)[0]
+        vecs_pad = jnp.pad(vecs, ((0, n_pad - n), (0, 0))).reshape(
+            self.n_dev, per, self.dim
         )
+        sorted_vecs = jnp.take_along_axis(vecs_pad, order[..., None], axis=1)
+        sorted_sq = jnp.sum(sorted_vecs.astype(jnp.float32) ** 2, axis=-1)
+        base = (jnp.arange(self.n_dev, dtype=jnp.int32) * per)[:, None]
+        gids = jnp.where(valid, base + order.astype(jnp.int32), -1)
 
-        locals_ = []
-        max_len = 1
-        for start, end in dev_rows:
-            a = assigns[start:end]
-            order = np.argsort(a, kind="stable")
-            lengths = np.bincount(a[order], minlength=self.nlist).astype(np.int32)
-            max_len = max(max_len, int(lengths.max()) if len(a) else 1)
-            locals_.append((start, end, order, lengths))
-        window = int(_round_up(max_len, 128))
-        rows_pad = _round_up(per_dev, 8) + window  # common per-device size
+        # ---- window cap at the list-length quantile; overflow spills to a
+        # per-device exact tier (host syncs: the quantile + the spill count)
+        lengths_np = np.asarray(lengths)
+        max_len = max(int(lengths_np.max()), 1)
+        cap = int(_round_up(
+            max(128, int(np.quantile(lengths_np, self.window_quantile))), 128
+        ))
+        self._spill = None
+        if cap < max_len:
+            window = cap
+            off_of_row = jnp.take_along_axis(
+                offsets, jnp.clip(sorted_a, 0, self.nlist - 1), axis=1
+            )
+            rank = jnp.arange(per, dtype=jnp.int32)[None, :] - off_of_row
+            spill_mask = valid & (rank >= cap)
+            s_counts = spill_mask.sum(axis=1).astype(jnp.int32)
+            s_max = int(np.asarray(s_counts).max())
+            s_pad = min(per, _round_up(s_max, 128))
+            # spill rows first (stable), then take a uniform prefix
+            sel = jnp.argsort(~spill_mask, axis=1, stable=True)[:, :s_pad]
+            sp_vecs = jnp.take_along_axis(sorted_vecs, sel[..., None], axis=1)
+            sp_sq = jnp.take_along_axis(sorted_sq, sel, axis=1)
+            sp_ids = jnp.where(
+                jnp.take_along_axis(spill_mask, sel, axis=1),
+                jnp.take_along_axis(gids, sel, axis=1), -1,
+            )
+            self._spill = (
+                jax.device_put(sp_vecs.astype(self.dtype), self._sharding),
+                jax.device_put(sp_sq, self._sharding),
+                jax.device_put(sp_ids, self._sharding),
+                jax.device_put(s_counts[:, None], self._sharding),
+            )
+            lengths = jnp.minimum(lengths, cap)
+            logger.info(
+                "capped sharded-IVF window at %d (max list %d): %d rows "
+                "spilled to per-device exact tiers",
+                cap, max_len, int(np.asarray(s_counts).sum()),
+            )
+        else:
+            window = int(_round_up(max_len, 128))
 
-        vec_buf = np.zeros((self.n_dev, rows_pad, self.dim), np.float32)
-        sq_buf = np.zeros((self.n_dev, rows_pad), np.float32)
-        id_buf = np.full((self.n_dev, rows_pad), -1, np.int32)
-        off_buf = np.zeros((self.n_dev, self.nlist), np.int32)
-        len_buf = np.zeros((self.n_dev, self.nlist), np.int32)
-        for d, (start, end, order, lengths) in enumerate(locals_):
-            rows = vectors[start:end][order]
-            vec_buf[d, : len(rows)] = rows
-            sq_buf[d, : len(rows)] = (rows ** 2).sum(-1)
-            id_buf[d, : len(rows)] = start + order  # global row ids
-            off_buf[d, 1:] = np.cumsum(lengths[:-1])
-            len_buf[d] = lengths
-
-        cast = self.dtype
-        self._vecs = jax.device_put(jnp.asarray(vec_buf, cast), self._sharding)
-        self._sq = jax.device_put(jnp.asarray(sq_buf), self._sharding)
-        self._ids = jax.device_put(jnp.asarray(id_buf), self._sharding)
-        self._offsets = jax.device_put(jnp.asarray(off_buf), self._sharding)
-        self._lengths = jax.device_put(jnp.asarray(len_buf), self._sharding)
+        # pad one window per device so probe windows stay in bounds
+        self._vecs = jax.device_put(
+            jnp.pad(sorted_vecs, ((0, 0), (0, window), (0, 0))).astype(
+                self.dtype
+            ),
+            self._sharding,
+        )
+        self._sq = jax.device_put(
+            jnp.pad(sorted_sq, ((0, 0), (0, window))), self._sharding
+        )
+        self._ids = jax.device_put(
+            jnp.pad(gids, ((0, 0), (0, window)), constant_values=-1),
+            self._sharding,
+        )
+        self._offsets = jax.device_put(offsets, self._sharding)
+        self._lengths = jax.device_put(lengths, self._sharding)
+        self.centroids = cent_rep
         self._window = window
-        self.ntotal = n
+        self._n_built = n
+        self._next_id = n
+        self._stream_vecs = np.zeros((0, self.dim), np.float32)
+        self._stream_ids = np.zeros((0,), np.int32)
+        self._pending_dev = None
         logger.info(
-            "built sharded IVF: n=%d over %d devices, nlist=%d window=%d",
-            n, self.n_dev, self.nlist, window,
+            "built sharded IVF on device: n=%d over %d devices, nlist=%d "
+            "window=%d", n, self.n_dev, self.nlist, window,
         )
 
+    # ------------------------------------------------------------ streaming
+    def add(self, vectors: np.ndarray | jax.Array) -> None:
+        """Streaming add: staged host-side, mirrored round-robin to the
+        per-device exact pending tier; auto-rebuild past the threshold."""
+        vecs = np.asarray(vectors, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        if self._n_built == 0:
+            self.build(vecs)
+            return
+        n_new = len(vecs)
+        ids = np.arange(self._next_id, self._next_id + n_new, dtype=np.int32)
+        self._stream_vecs = np.concatenate([self._stream_vecs, vecs])
+        self._stream_ids = np.concatenate([self._stream_ids, ids])
+        self._next_id += n_new
+        self._pending_dev = None  # mirror is stale
+        if len(self._stream_ids) > self.rebuild_threshold * self._n_built:
+            self.rebuild()
+
+    def rebuild(self) -> None:
+        if not len(self._stream_ids):
+            return
+        logger.info("rebuilding sharded IVF with %d vectors", self.ntotal)
+        self.build(self.vectors())
+
+    def _refresh_pending(self) -> None:
+        """Mirror the host-staged stream tier to (n_dev, t_pad, ...) arrays,
+        striped round-robin so shard_map sees uniform shapes."""
+        n = len(self._stream_ids)
+        if n == 0:
+            self._pending_dev = None
+            return
+        t_pad = _round_up(-(-n // self.n_dev), 128)
+        vecs = np.zeros((self.n_dev, t_pad, self.dim), np.float32)
+        sq = np.zeros((self.n_dev, t_pad), np.float32)
+        ids = np.full((self.n_dev, t_pad), -1, np.int32)
+        counts = np.zeros((self.n_dev, 1), np.int32)
+        for d in range(self.n_dev):
+            rows = self._stream_vecs[d :: self.n_dev]
+            counts[d, 0] = len(rows)
+            vecs[d, : len(rows)] = rows
+            sq[d, : len(rows)] = (rows.astype(np.float32) ** 2).sum(-1)
+            ids[d, : len(rows)] = self._stream_ids[d :: self.n_dev]
+        self._pending_dev = (
+            jax.device_put(jnp.asarray(vecs, self.dtype), self._sharding),
+            jax.device_put(jnp.asarray(sq), self._sharding),
+            jax.device_put(jnp.asarray(ids), self._sharding),
+            jax.device_put(jnp.asarray(counts), self._sharding),
+        )
+
+    # -------------------------------------------------------------- search
     def search(
         self, queries, k: int, nprobe: Optional[int] = None
     ) -> Tuple[jax.Array, jax.Array]:
@@ -170,8 +345,8 @@ class ShardedIVFIndex:
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
+        nq = q.shape[0]
         if self.ntotal == 0:
-            nq = q.shape[0]
             return (
                 jnp.full((nq, k), jnp.inf, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
@@ -182,13 +357,22 @@ class ShardedIVFIndex:
             chunk_size=min(65536, self.nlist),
         )
         probes = jax.device_put(probes, self._replicated)
-        fn = _build_sharded_probe(self.mesh, k, self._window, self.db_axis)
+        if len(self._stream_ids) and self._pending_dev is None:
+            self._refresh_pending()
+        tiers = ()
+        if self._spill is not None:
+            tiers = tiers + self._spill
+        if self._pending_dev is not None:
+            tiers = tiers + self._pending_dev
+        fn = _build_sharded_probe(
+            self.mesh, k, self._window, self.db_axis,
+            self._spill is not None, self._pending_dev is not None,
+        )
         vals, ids = fn(
             q, self._vecs, self._sq, self._ids, self._offsets,
-            self._lengths, probes,
+            self._lengths, probes, *tiers,
         )
         if vals.shape[1] < k:
-            nq = q.shape[0]
             pad = k - vals.shape[1]
             vals = jnp.concatenate(
                 [vals, jnp.full((nq, pad), jnp.inf, vals.dtype)], axis=1
@@ -198,7 +382,76 @@ class ShardedIVFIndex:
             )
         return vals, ids
 
+    # ------------------------------------------------------------- manage
     def reset(self) -> None:
         self.centroids = None
-        self.ntotal = 0
-        self._window = 0
+        self._clear_state()
+
+    def vectors(self) -> np.ndarray:
+        """Live vectors in original insertion order (spilled rows live in the
+        sorted buffers too, so the spill tier is NOT double-counted)."""
+        parts_v, parts_i = [], []
+        if self._n_built:
+            per = self._vecs.shape[1] - self._window
+            built = np.asarray(
+                self._vecs[:, :per].astype(jnp.float32)
+            ).reshape(-1, self.dim)
+            ids = np.asarray(self._ids[:, :per]).reshape(-1)
+            keep = ids >= 0
+            parts_v.append(built[keep])
+            parts_i.append(ids[keep])
+        if len(self._stream_ids):
+            parts_v.append(self._stream_vecs)
+            parts_i.append(self._stream_ids)
+        if not parts_v:
+            return np.zeros((0, self.dim), np.float32)
+        vecs = np.concatenate(parts_v)
+        ids = np.concatenate(parts_i)
+        return vecs[np.argsort(ids, kind="stable")]
+
+    # ---------------------------------------------------------------- io
+    def state_dict(self) -> dict:
+        return {
+            "kind": "sharded_ivf",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(self.dtype),
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "window_quantile": self.window_quantile,
+            "centroids": np.asarray(self.centroids)
+            if self.centroids is not None
+            else np.zeros((0, self.dim), np.float32),
+            "vectors": self.vectors(),
+        }
+
+    @classmethod
+    def from_state_dict(
+        cls, state: dict, mesh: Optional[Mesh] = None, **kwargs
+    ) -> "ShardedIVFIndex":
+        def item(v):
+            v = np.asarray(v)
+            return v.item() if v.ndim == 0 else v
+
+        if mesh is None:
+            from ..core.mesh import make_mesh
+
+            mesh = make_mesh({"db": len(jax.devices())})
+        idx = cls(
+            dim=int(item(state["dim"])),
+            mesh=mesh,
+            nlist=int(item(state["nlist"])),
+            nprobe=int(item(state["nprobe"])),
+            metric=str(item(state["metric"])),
+            dtype=str(item(state["dtype"])),
+            **kwargs,
+        )
+        if "window_quantile" in state:
+            idx.window_quantile = float(item(state["window_quantile"]))
+        centroids = np.asarray(state["centroids"])
+        if centroids.size:
+            idx.centroids = jnp.asarray(centroids)
+        vectors = np.asarray(state["vectors"])
+        if len(vectors):
+            idx.build(vectors)
+        return idx

@@ -1,0 +1,170 @@
+"""Sharded index single-chip parity (round-2): device-side IVF build with
+capped window + per-device spill, streaming adds, persistence round trips,
+and the sharded flat index's on-device grow + load path.
+
+All on the 8-virtual-CPU-device mesh (conftest forces jax_platforms=cpu).
+"""
+
+import numpy as np
+import pytest
+
+from rag_faiss_embedding_tpu.core.mesh import make_mesh
+from rag_faiss_embedding_tpu.parallel.sharded import ShardedFlatIndex
+from rag_faiss_embedding_tpu.parallel.sharded_ivf import ShardedIVFIndex
+
+from .test_distance import numpy_exact
+from .test_ivf import clustered_data
+
+
+def _recall(ids, truth):
+    ids = np.asarray(ids)
+    return np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / truth.shape[1]
+        for a, b in zip(ids, truth)
+    ])
+
+
+def test_sharded_ivf_window_cap_spills_and_stays_exact(rng):
+    """Skewed lists + forced low cap: full probe still matches brute force
+    (spilled rows are scanned exactly on their home device)."""
+    mesh = make_mesh({"db": 4})
+    big = rng.standard_normal((600, 16)).astype(np.float32) * 0.05
+    rest = (rng.standard_normal((8, 16)).astype(np.float32) * 5
+            + 0.05 * rng.standard_normal((8, 40, 16)).astype(np.float32)
+            .transpose(1, 0, 2)).reshape(-1, 16).astype(np.float32)
+    pts = np.concatenate([big, rest])
+    idx = ShardedIVFIndex(16, mesh, nlist=8, nprobe=8, train_iters=10)
+    idx.window_quantile = 0.5
+    idx.build(pts)
+    assert idx._spill is not None, "expected spill"
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    ref_vals, ref_ids = numpy_exact(q, pts, 7, "L2")
+    vals, ids = idx.search(q, 7, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_sharded_ivf_streaming_add_and_rebuild(rng):
+    mesh = make_mesh({"db": 4})
+    pts, _ = clustered_data(rng, n_clusters=8, per_cluster=32)
+    idx = ShardedIVFIndex(16, mesh, nlist=8, nprobe=8, train_iters=8)
+    idx.build(pts[:200])
+    assert idx.ntotal == 200
+    idx.add(pts[200:220])  # below threshold: pending tier
+    assert idx.ntotal == 220
+    # new vectors findable immediately (exact pending scan)
+    _, ids = idx.search(pts[210], 1)
+    assert int(np.asarray(ids)[0, 0]) == 210
+    idx.add(pts[220:])  # pushes past threshold: auto-rebuild
+    assert len(idx._stream_ids) == 0
+    _, ids = idx.search(pts[240], 1)
+    assert int(np.asarray(ids)[0, 0]) == 240
+    # full probe after rebuild is still exact
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    _, ref_ids = numpy_exact(q, pts, 5, "L2")
+    _, ids = idx.search(q, 5, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+
+
+def test_sharded_ivf_state_roundtrip(rng, tmp_path):
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    mesh = make_mesh({"db": 4})
+    pts, _ = clustered_data(rng, n_clusters=4, per_cluster=32)
+    idx = ShardedIVFIndex(16, mesh, nlist=4, nprobe=4, train_iters=8)
+    store = VectorStore(dimension=16, index_path=tmp_path / "sivf.idx",
+                        index=idx)
+    doc_ids = list(range(500, 500 + len(pts)))
+    store.add_vectors(pts, doc_ids)
+    d1, i1 = store.search(pts[7], k=3)
+    store.save_index()
+
+    loaded = VectorStore(dimension=16, index_path=tmp_path / "sivf.idx",
+                         mesh=mesh)
+    assert isinstance(loaded.index, ShardedIVFIndex)
+    d2, i2 = loaded.search(pts[7], k=3)
+    assert i1 == i2 == [507, *i1[1:]]
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_ivf_vectors_insertion_order(rng):
+    mesh = make_mesh({"db": 4})
+    pts, _ = clustered_data(rng, n_clusters=8, per_cluster=32)
+    idx = ShardedIVFIndex(16, mesh, nlist=8, train_iters=8)
+    idx.window_quantile = 0.5  # force spill; must not double count
+    idx.build(pts[:220])
+    extra = rng.standard_normal((7, 16)).astype(np.float32)
+    idx.add(extra)
+    np.testing.assert_allclose(
+        idx.vectors(), np.concatenate([pts[:220], extra]), rtol=1e-6
+    )
+
+
+def test_sharded_ivf_reset_releases_buffers(rng):
+    mesh = make_mesh({"db": 4})
+    pts, _ = clustered_data(rng, n_clusters=4, per_cluster=32)
+    idx = ShardedIVFIndex(16, mesh, nlist=4, train_iters=5)
+    idx.build(pts)
+    idx.reset()
+    assert idx.ntotal == 0 and idx._vecs is None and idx._spill is None
+    # rebuildable after reset
+    idx.build(pts)
+    _, ids = idx.search(pts[3], 1, nprobe=4)
+    assert int(np.asarray(ids)[0, 0]) == 3
+
+
+def test_sharded_flat_grow_on_device_keeps_positions(rng):
+    """Growth past capacity preserves global row positions (the doc-id
+    mapping is positional) and stays searchable."""
+    mesh = make_mesh({"db": 8})
+    idx = ShardedFlatIndex(16, mesh, capacity=8192)
+    cap0 = idx._capacity
+    db = rng.standard_normal((cap0 + 3000, 16)).astype(np.float32)
+    idx.add(db[:5000])
+    idx.add(db[5000:])  # forces growth
+    assert idx._capacity > cap0
+    q = db[::1717]
+    ref_vals, ref_ids = numpy_exact(q, db, 5, "L2")
+    vals, ids = idx.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    # buffers remain sharded over the db axis after growth
+    assert len(idx._buf.sharding.device_set) == 8
+
+
+def test_sharded_flat_state_roundtrip(rng, tmp_path):
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    mesh = make_mesh({"db": 4})
+    db = rng.standard_normal((256, 16)).astype(np.float32)
+    idx = ShardedFlatIndex(16, mesh)
+    store = VectorStore(dimension=16, index_path=tmp_path / "sflat.idx",
+                        index=idx)
+    store.add_vectors(db, list(range(1000, 1256)))
+    d1, i1 = store.search(db[9], k=4)
+    store.save_index()
+
+    loaded = VectorStore(dimension=16, index_path=tmp_path / "sflat.idx",
+                         mesh=mesh)
+    assert isinstance(loaded.index, ShardedFlatIndex)
+    d2, i2 = loaded.search(db[9], k=4)
+    assert i1 == i2 == [1009, *i1[1:]]
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_flat_loads_without_explicit_mesh(rng, tmp_path):
+    """No mesh passed -> defaults to all local devices on a 'db' axis."""
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    mesh = make_mesh({"db": 2})
+    db = rng.standard_normal((64, 8)).astype(np.float32)
+    idx = ShardedFlatIndex(8, mesh)
+    store = VectorStore(dimension=8, index_path=tmp_path / "s2.idx",
+                        index=idx)
+    store.add_vectors(db, list(range(64)))
+    store.save_index()
+    loaded = VectorStore(dimension=8, index_path=tmp_path / "s2.idx")
+    assert isinstance(loaded.index, ShardedFlatIndex)
+    assert loaded.index.n_dev == 8  # all virtual devices
+    _, ids = loaded.search(db[3], k=1)
+    assert ids == [3]
