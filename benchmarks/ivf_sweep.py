@@ -1,0 +1,163 @@
+"""TPU tuning sweep for the fused IVF path (library defaults come from here).
+
+Sweeps {balance mode x window_quantile x nlist x dtype x nprobe x query
+chunk} on the bench's 1M x 384 mixture workload, printing one JSON line per
+config: amortized QPS (bench.py protocol: REPS batches inside one jit,
+checksum output, trivial-dispatch RTT subtracted) and recall@10 vs the fp32
+exact oracle at >=1024 queries.
+
+Usage (ONE process at a time on the tunneled TPU — CLAUDE.md):
+    python -m benchmarks.ivf_sweep                      # default grid
+    python -m benchmarks.ivf_sweep --configs spill:0.98:4096:int8:1:256 ...
+
+Each config string is balance:quantile:nlist:dtype:nprobe:qc (qc 0 = auto).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+N_DB = 1_048_576
+DIM = 384
+K = 10
+Q_BATCH = 1024
+REPS = 8
+RECALL_QUERIES = 1024
+
+DEFAULT_GRID = [
+    # balance:quantile:nlist:dtype:nprobe:qc
+    "spill:0.98:4096:int8:1:0",
+    "spill:0.9:4096:int8:1:0",
+    "spill:0.75:4096:int8:1:0",
+    "reassign:0.75:4096:int8:1:0",
+    "reassign:0.75:4096:int8:2:0",
+    "reassign:0.5:4096:int8:2:0",
+    "reassign:0.75:8192:int8:2:0",
+    "spill:0.9:4096:bfloat16:1:0",
+    "reassign:0.75:4096:int8:1:128",
+    "reassign:0.75:4096:int8:1:64",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="*", default=DEFAULT_GRID)
+    ap.add_argument("--train-iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.ops import distance as dist_ops
+    from rag_faiss_embedding_tpu.ops.ivf_scan import (
+        fused_ivf_search_math,
+        pick_query_chunk,
+    )
+
+    platform = jax.devices()[0].platform
+    n_db = N_DB if platform == "tpu" else 131072
+
+    key = jax.random.PRNGKey(0)
+    n_modes = 8192
+
+    @jax.jit
+    def gen_db(k):
+        kc, km, kn = jax.random.split(k, 3)
+        centers = jax.random.normal(kc, (n_modes, DIM), jnp.float32)
+        mode = jax.random.randint(km, (n_db,), 0, n_modes)
+        noise = jax.random.normal(kn, (n_db, DIM), jnp.float32)
+        return centers[mode] + 0.7 * noise
+
+    @jax.jit
+    def gen_q(k, db):
+        ks, kn = jax.random.split(k)
+        src = jax.random.randint(ks, (REPS * Q_BATCH,), 0, db.shape[0])
+        noise = jax.random.normal(kn, (REPS * Q_BATCH, DIM), jnp.float32)
+        return db[src] + 0.3 * noise
+
+    db = gen_db(key)
+    qstack = gen_q(jax.random.fold_in(key, 1), db)
+    jax.block_until_ready((db, qstack))
+
+    trivial = jax.jit(lambda x: x.sum())
+    float(trivial(qstack))
+
+    sub_q = qstack[:RECALL_QUERIES]
+    _, truth = dist_ops.exact_search(sub_q, db, K, metric="L2",
+                                     chunk_size=524288)
+    truth = np.asarray(truth)
+
+    built = {}
+    for spec in args.configs:
+        balance, wq, nlist, dtype, nprobe, qc = spec.split(":")
+        wq, nlist, nprobe, qc = float(wq), int(nlist), int(nprobe), int(qc)
+        build_key = (balance, wq, nlist, dtype)
+        try:
+            if build_key not in built:
+                idx = IVFFlatIndex(DIM, nlist=nlist, dtype=dtype,
+                                   train_iters=args.train_iters,
+                                   balance=balance)
+                idx.window_quantile = wq
+                t0 = time.perf_counter()
+                idx.build(db)
+                built[build_key] = (idx, time.perf_counter() - t0)
+            idx, build_s = built[build_key]
+            window = idx._window
+            spill = idx._pending_dev() if idx._pending.ntotal else None
+            fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
+                          idx._sorted_scales, idx._sorted_sq,
+                          idx._sorted_ids, idx._offsets_ext,
+                          idx._lengths_ext)
+            if qc == 0:
+                qc = pick_query_chunk(
+                    nprobe, window, DIM, jnp.dtype(idx.dtype).itemsize,
+                    REPS * Q_BATCH,
+                )
+
+            def many(qs, *a):
+                if spill is not None:
+                    a, sp = a[:-4], a[-4:]
+                else:
+                    sp = None
+                v, i = fused_ivf_search_math(
+                    qs.reshape(-1, qc, DIM), *a, sp,
+                    k=K, nprobe=nprobe, window=window, metric="L2",
+                    recall_target=idx.recall_target,
+                )
+                v = jnp.where(jnp.isfinite(v), v, 0.0)
+                return v.sum() + i.sum().astype(jnp.float32)
+
+            many = jax.jit(many)
+            call_args = fused_args + (spill if spill is not None else ())
+            float(many(qstack, *call_args))  # compile + warm
+            t0 = time.perf_counter()
+            float(trivial(qstack))
+            rtt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(many(qstack, *call_args))
+            per = max((time.perf_counter() - t0 - rtt) / REPS, 1e-9)
+
+            _, pred = idx.search(sub_q, K, nprobe=nprobe)
+            pred = np.asarray(pred)
+            hits = sum(len(set(p.tolist()) & set(t.tolist()))
+                       for p, t in zip(pred, truth))
+            rec = hits / truth.size
+            print(json.dumps({
+                "config": spec, "qps": round(Q_BATCH / per, 1),
+                "recall_at_10": round(rec, 4), "window": window,
+                "spill_rows": int(idx._pending.ntotal), "qc": qc,
+                "build_s": round(build_s, 1),
+                "batch_ms": round(per * 1e3, 3),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({"config": spec, "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,45 @@ _probe_scan = functools.partial(
 )(probe_scan_math)
 
 
+def balanced_assignment(
+    choices: np.ndarray,   # (N, C) candidate lists, best first
+    scores: np.ndarray,    # (N, C) matching scores (ascending preference)
+    nlist: int,
+    cap: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Capacity-capped assignment: each point takes its best-choice list
+    with room, preferring the CLOSEST points when a list overflows (evicted
+    points fall back to their next choice). Returns (assignments (N,),
+    spill_rows) where spill rows exhausted every choice.
+
+    This is the window-size lever for the fused probe scan: the gather pays
+    for the window on every probe, and k-means skew otherwise forces
+    window ~ 8x the mean list length. Vectorized host pass (numpy lexsort
+    per choice rank) — O(C * N log N) on scalars, the vectors stay on
+    device."""
+    n = len(choices)
+    assign = np.full(n, -1, np.int64)
+    capacity = np.full(nlist, cap, np.int64)
+    pending = np.arange(n)
+    for c in range(choices.shape[1]):
+        if not len(pending):
+            break
+        lists = choices[pending, c].astype(np.int64)
+        order = np.lexsort((scores[pending, c], lists))
+        lp = lists[order]
+        first = np.r_[True, lp[1:] != lp[:-1]] if len(lp) else np.zeros(0, bool)
+        group_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(lp)), 0)
+        )
+        rank = np.arange(len(lp)) - group_start
+        ok = rank < capacity[lp]
+        sel = pending[order[ok]]
+        assign[sel] = lp[ok]
+        capacity -= np.bincount(lp[ok], minlength=nlist)
+        pending = pending[order[~ok]]
+    return assign, pending
+
+
 class IVFFlatIndex:
     """Inverted-file flat index with exact within-list distances."""
 
@@ -113,9 +152,15 @@ class IVFFlatIndex:
         train_iters: int = 20,
         seed: int = 0,
         recall_target: Optional[float] = None,
+        balance: str = "spill",
+        reassign_choices: int = 3,
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
+        if balance not in ("spill", "reassign"):
+            raise ValueError(
+                f"balance must be 'spill' or 'reassign', got {balance!r}"
+            )
         self.dim = int(dim)
         self.nlist = int(nlist)
         self.metric = metric
@@ -162,6 +207,14 @@ class IVFFlatIndex:
         self.window_quantile = 0.98  # cap probe window at this list-length
         #                              quantile; longer lists spill overflow
         self.use_fused = True  # per-query windowed path kept as fallback
+        # balance="spill": overflow past the window cap goes to the exact
+        #   pending tier (never hurts recall; the tier is scanned by every
+        #   query). balance="reassign": overflow rows move to their
+        #   next-nearest list with room (balanced_assignment) — smaller
+        #   windows and near-zero spill, at the cost that a displaced row is
+        #   only found when its host list is probed (raise nprobe by ~1).
+        self.balance = balance
+        self.reassign_choices = int(reassign_choices)
 
     # ------------------------------------------------------------- building
     @property
@@ -194,13 +247,53 @@ class IVFFlatIndex:
         n = vecs_f32.shape[0]
         if not self.is_trained:
             self.train(vecs_f32)
-        # point-chunked assignment: a full (N, nlist) score matrix is 16 GB
-        # at 1M x 4096
-        assignments, _ = kmeans_assign(vecs_f32, self.centroids,
-                                       metric=self.metric)
+        n_reassign_spill = 0
+        if self.balance == "reassign":
+            # capacity-capped assignment: overflow rows fall back to their
+            # next-nearest list, keeping every window small (the fused scan
+            # pays window bytes per probe)
+            from ..ops.kmeans import assign_topk
+
+            choices, cvals = assign_topk(
+                vecs_f32, self.centroids, self.reassign_choices,
+                metric=self.metric,
+            )
+            choices_np = np.asarray(choices)
+            pref = np.asarray(cvals)
+            if self.metric == "IP":
+                pref = -pref  # lexsort wants ascending preference
+            first_lengths = np.bincount(choices_np[:, 0], minlength=self.nlist)
+            cap = int(_round_up(
+                max(128, int(np.quantile(first_lengths,
+                                         self.window_quantile))), 128
+            ))
+            assign_np, spill_rows = balanced_assignment(
+                choices_np, pref, self.nlist, cap
+            )
+            n_reassign_spill = len(spill_rows)
+            # rows that exhausted every choice sort to the tail (sentinel)
+            assignments = jnp.asarray(
+                np.where(assign_np >= 0, assign_np, self.nlist), jnp.int32
+            )
+            lengths = jnp.asarray(
+                np.bincount(assign_np[assign_np >= 0],
+                            minlength=self.nlist).astype(np.int32)
+            )
+            if n_reassign_spill:
+                logger.info(
+                    "balanced build: %d rows exhausted %d choices (cap %d); "
+                    "spilled to the exact tier",
+                    n_reassign_spill, self.reassign_choices, cap,
+                )
+        else:
+            # point-chunked assignment: a full (N, nlist) score matrix is
+            # 16 GB at 1M x 4096
+            assignments, _ = kmeans_assign(vecs_f32, self.centroids,
+                                           metric=self.metric)
+            lengths = jnp.bincount(
+                assignments, length=self.nlist
+            ).astype(jnp.int32)
         order = jnp.argsort(assignments, stable=True)
-        sorted_assign = assignments[order]
-        lengths = jnp.bincount(sorted_assign, length=self.nlist).astype(jnp.int32)
         offsets = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(lengths)[:-1]]
         )
@@ -216,20 +309,32 @@ class IVFFlatIndex:
         else:
             sorted_ids = jnp.asarray(row_ids, jnp.int32)[order]
 
-        # Cap the probe window at a list-length quantile: k-means skew makes
-        # the longest list ~8x the mean, and the fixed-window gather pays for
-        # the LONGEST list on every probe. Rows past the cap spill into the
-        # exactly-scanned pending tier (small, never hurts recall).
         lengths_np = np.asarray(lengths)  # (nlist,) ints — tiny transfer
         max_len = max(int(lengths_np.max()), 1)
-        cap = int(_round_up(
-            max(128, int(np.quantile(lengths_np, self.window_quantile))), 128
-        ))
         self._pending.reset()
         self._pending_rowids = np.zeros((0,), np.int32)
         self._pending_rowids_dev = None
         self._n_streamed = 0
-        if cap < max_len:
+        if self.balance == "reassign":
+            # capacity already enforced during assignment; only rows that
+            # exhausted every choice (sorted to the tail) spill
+            window = int(_round_up(max_len, 128))
+            if n_reassign_spill:
+                spill_pos = np.arange(n - n_reassign_spill, n, dtype=np.int64)
+                self._spill_pos = spill_pos
+                pos_dev = jnp.asarray(spill_pos)
+                self._pending.add(sorted_f32[pos_dev])
+                self._pending_rowids = np.asarray(sorted_ids[pos_dev])
+                self._pending_rowids_dev = None
+            else:
+                self._spill_pos = np.zeros((0,), np.int64)
+        # Cap the probe window at a list-length quantile: k-means skew makes
+        # the longest list ~8x the mean, and the fixed-window gather pays for
+        # the LONGEST list on every probe. Rows past the cap spill into the
+        # exactly-scanned pending tier (small, never hurts recall).
+        elif (cap := int(_round_up(
+            max(128, int(np.quantile(lengths_np, self.window_quantile))), 128
+        ))) < max_len:
             window = cap
             offsets_np = np.asarray(offsets, np.int64)
             spill_pos = np.concatenate([
@@ -519,6 +624,7 @@ class IVFFlatIndex:
             "nlist": self.nlist,
             "nprobe": self.nprobe,
             "window_quantile": self.window_quantile,
+            "balance": self.balance,
             "window": self._window,
             "next_id": self._next_id,
             "n_streamed": self._n_streamed,
@@ -569,6 +675,8 @@ class IVFFlatIndex:
         )
         if "window_quantile" in state:
             idx.window_quantile = float(item(state["window_quantile"]))
+        if "balance" in state:
+            idx.balance = str(item(state["balance"]))
         centroids = np.asarray(state["centroids"])
         if centroids.size:
             idx.centroids = jnp.asarray(centroids)

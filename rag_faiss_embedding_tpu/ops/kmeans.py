@@ -53,6 +53,29 @@ def assign(
     return jnp.concatenate(idx_parts), jnp.concatenate(val_parts)
 
 
+def assign_topk(
+    x: jax.Array, centroids: jax.Array, c: int, point_chunk: int = 65536,
+    metric: str = "L2",
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-c candidate centroids per row: (choices (N, c), values (N, c)).
+
+    Used by the balanced IVF build (overflow rows fall back to their next
+    choice). Chunked over points like ``assign``."""
+    n = x.shape[0]
+    c = min(c, centroids.shape[0])
+    if n <= point_chunk:
+        vals, idx = dist_ops.exact_search(x, centroids, c, metric=metric)
+        return idx, vals
+    idx_parts, val_parts = [], []
+    for start in range(0, n, point_chunk):
+        vals, idx = dist_ops.exact_search(
+            x[start : start + point_chunk], centroids, c, metric=metric
+        )
+        idx_parts.append(idx)
+        val_parts.append(vals)
+    return jnp.concatenate(idx_parts), jnp.concatenate(val_parts)
+
+
 @functools.partial(jax.jit, static_argnames=("nlist",))
 def _update_step(x, assignments, nlist):
     """One Lloyd update via segment-sum (O(N*D), no (N, nlist) one-hot)."""

@@ -189,3 +189,79 @@ def test_spherical_kmeans_normalized_centroids(rng):
     # assignment maximizes dot product
     dots = pts @ cents.T
     np.testing.assert_array_equal(np.asarray(assigns), dots.argmax(1))
+
+
+def test_balanced_assignment_respects_capacity(rng):
+    from rag_faiss_embedding_tpu.index.ivf import balanced_assignment
+
+    n, nlist, cap = 1000, 8, 100
+    choices = np.stack([
+        rng.permuted(np.tile(np.arange(nlist), -(-n // nlist))[:n]),
+        rng.integers(0, nlist, n),
+        rng.integers(0, nlist, n),
+    ], axis=1).astype(np.int32)
+    scores = np.sort(rng.random((n, 3)), axis=1).astype(np.float32)
+    assign, spill = balanced_assignment(choices, scores, nlist, cap)
+    counts = np.bincount(assign[assign >= 0], minlength=nlist)
+    assert (counts <= cap).all()
+    assert (assign >= 0).sum() + len(spill) == n
+    # every assigned list is one of that row's choices
+    ok = assign[:, None] == choices
+    assert (ok.any(1) | (assign == -1)).all()
+
+
+def test_balanced_assignment_prefers_closest(rng):
+    from rag_faiss_embedding_tpu.index.ivf import balanced_assignment
+
+    # 5 rows all want list 0 (cap 3): the 3 closest stay, 2 fall back
+    choices = np.array([[0, 1]] * 5, np.int32)
+    scores = np.array([[0.5, 9], [0.1, 9], [0.9, 9], [0.2, 9], [0.7, 9]],
+                      np.float32)
+    assign, spill = balanced_assignment(choices, scores, 2, 3)
+    assert len(spill) == 0
+    np.testing.assert_array_equal(assign, [0, 0, 1, 0, 1])
+
+
+def test_ivf_reassign_build_full_probe_exact(rng):
+    """balance='reassign': skewed data, small windows, full probe still
+    matches brute force (rows live in *a* probed list, none are lost)."""
+    big = rng.standard_normal((600, 16)).astype(np.float32) * 0.05
+    rest = (rng.standard_normal((8, 16)).astype(np.float32) * 5
+            + 0.05 * rng.standard_normal((8, 40, 16)).astype(np.float32)
+            .transpose(1, 0, 2)).reshape(-1, 16).astype(np.float32)
+    pts = np.concatenate([big, rest])
+    idx = IVFFlatIndex(16, nlist=8, nprobe=8, train_iters=10,
+                       balance="reassign")
+    idx.window_quantile = 0.5
+    idx.build(pts)
+    spill_idx = IVFFlatIndex(16, nlist=8, nprobe=8, train_iters=10)
+    spill_idx.window_quantile = 0.5
+    spill_idx.build(pts)
+    # the point of reassign: smaller window than spill mode's quantile cap
+    # and (near) nothing in the exact tier
+    assert idx._pending.ntotal <= spill_idx._pending.ntotal
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    ref_vals, ref_ids = numpy_exact(q, pts, 7, "L2")
+    vals, ids = idx.search(q, 7, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-3,
+                               atol=1e-3)
+    # insertion-order reconstruction unaffected by reassignment
+    np.testing.assert_allclose(idx.vectors(), pts, rtol=1e-6)
+
+
+def test_ivf_reassign_persistence_roundtrip(rng, tmp_path):
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    pts, _ = clustered_data(rng, n_clusters=4, per_cluster=32)
+    idx = IVFFlatIndex(16, nlist=4, nprobe=4, balance="reassign")
+    store = VectorStore(dimension=16, index_path=tmp_path / "bal.idx",
+                        index=idx)
+    store.add_vectors(pts, list(range(len(pts))))
+    d1, i1 = store.search(pts[11], k=3)
+    store.save_index()
+    loaded = VectorStore(dimension=16, index_path=tmp_path / "bal.idx")
+    assert loaded.index.balance == "reassign"
+    d2, i2 = loaded.search(pts[11], k=3)
+    assert i1 == i2
+    np.testing.assert_array_equal(d1, d2)
