@@ -60,6 +60,8 @@ class Config:
     index_kind: str = "flat"  # "flat" (exact) or "ivf" (ANN tier)
     ivf_nlist: int = 1024
     ivf_nprobe: int = 8
+    ivf_balance: str = "spill"  # "spill" (exact overflow tier) or "reassign"
+    #                             (capacity-capped lists, smaller windows)
 
     # Search (reference config.py:33-34)
     top_k: int = 5
@@ -125,6 +127,8 @@ class Config:
             raise ValueError("index_kind must be 'flat' or 'ivf'")
         if self.ivf_nlist <= 0 or self.ivf_nprobe <= 0:
             raise ValueError("ivf_nlist and ivf_nprobe must be positive")
+        if self.ivf_balance not in ("spill", "reassign"):
+            raise ValueError("ivf_balance must be 'spill' or 'reassign'")
         if self.batch_size <= 0:
             raise ValueError("batch_size must be positive")
         if self.top_k <= 0:

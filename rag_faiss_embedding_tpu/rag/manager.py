@@ -64,6 +64,7 @@ class RAGManager:
                 nprobe=self.config.ivf_nprobe,
                 metric=self.config.index_metric,
                 dtype=self.config.index_dtype,
+                balance=self.config.ivf_balance,
             )
         self.vector_store = VectorStore(
             dimension=dim,

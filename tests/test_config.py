@@ -1,3 +1,4 @@
+import numpy as np
 import pytest
 
 from rag_faiss_embedding_tpu.core import Config
@@ -42,3 +43,34 @@ def test_setup_directories(tmp_path):
     cfg = Config(base_dir=tmp_path)
     cfg.setup_directories()
     assert cfg.data_dir.is_dir() and cfg.logs_dir.is_dir()
+
+
+def test_ivf_balance_knob(tmp_path, monkeypatch):
+    from rag_faiss_embedding_tpu.core.config import Config
+
+    cfg = Config(base_dir=tmp_path, ivf_balance="reassign")
+    assert cfg.validate()
+    with pytest.raises(ValueError, match="ivf_balance"):
+        Config(base_dir=tmp_path, ivf_balance="shuffle").validate()
+
+
+def test_ivf_ip_int8_config_composes_end_to_end(tmp_path):
+    """index_kind=ivf with metric=IP and dtype=int8 — the two round-1
+    'silently impossible' combinations — now construct and search through
+    the manager's index plumbing."""
+    from rag_faiss_embedding_tpu.core.config import Config
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    cfg = Config(base_dir=tmp_path, index_kind="ivf", index_metric="IP",
+                 index_dtype="int8", ivf_nlist=4, ivf_nprobe=4,
+                 ivf_balance="reassign")
+    assert cfg.validate()
+    idx = IVFFlatIndex(8, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe,
+                       metric=cfg.index_metric, dtype=cfg.index_dtype,
+                       balance=cfg.ivf_balance)
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((64, 8)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    idx.build(pts)
+    _, ids = idx.search(pts[5], 1, nprobe=4)
+    assert int(np.asarray(ids)[0, 0]) == 5
