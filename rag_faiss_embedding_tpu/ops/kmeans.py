@@ -127,14 +127,17 @@ def train_kmeans(
     seed: int = 0,
     tol: float = 1e-4,
     verbose: bool = False,
-    init_sample: int = 256,
+    init_sample: int = 64,
     spherical: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd k-means with k-means++ init.
 
     Returns (centroids (nlist, D) f32, assignments (N,)). k-means++ runs on a
-    subsample of up to ``init_sample * nlist`` points (FAISS's default
-    training-subsample policy) to bound the O(nlist * n * d) seeding cost.
+    subsample of up to ``init_sample * nlist`` points to bound the seeding
+    cost: the sequential ++ pass is O(nlist * sample * D) — at nlist=4096 /
+    1M points / 384-d a 256x sample costs ~5 PFLOP (tens of seconds, most of
+    the whole build); 64 points per centroid still seeds distinct clusters
+    and Lloyd refines from there (recall stays gated in the bench).
 
     ``spherical=True`` is spherical k-means (FAISS ``Clustering`` with
     ``spherical`` set, used by IP-metric IVF): centroids are L2-normalized
