@@ -291,14 +291,18 @@ def main() -> None:
     ivf_extras = {}
     if not os.environ.get("RFE_BENCH_NO_IVF"):
         try:
+            from jax import lax
+
             from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
             from rag_faiss_embedding_tpu.ops.ivf_scan import (
+                default_union_cap,
                 fused_ivf_search_math,
                 pick_query_chunk,
             )
 
             idx = IVFFlatIndex(DIM, nlist=4096 if n_db >= 500_000 else 64,
-                               dtype="int8", train_iters=10)
+                               dtype="int8", train_iters=10,
+                               balance="reassign")
             t0 = time.perf_counter()
             idx.build(db_c32.reshape(n_db, DIM))
             build_s = time.perf_counter() - t0
@@ -306,27 +310,35 @@ def main() -> None:
             window = idx._window
             spill = idx._pending_dev() if idx._pending.ntotal else None
             fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
-                          idx._sorted_scales, idx._sorted_sq, idx._sorted_ids,
-                          idx._offsets_ext, idx._lengths_ext)
+                          idx._sorted_scales, idx._sorted_sq, idx._sorted_ids)
 
-            def make_ivf(nprobe, qc):
-                def many(qs, *args):
+            def make_ivf(nprobe, ucap, qc):
+                def many(qs, *args):  # qs: (REPS, Q_BATCH, DIM)
                     if spill is not None:
                         args, sp = args[:-4], args[-4:]
                     else:
                         sp = None
-                    v, i = fused_ivf_search_math(
-                        qs.reshape(-1, qc, DIM), *args, sp,
-                        k=K, nprobe=nprobe, window=window, metric="L2",
-                        recall_target=idx.recall_target,
-                    )
-                    v = jnp.where(jnp.isfinite(v), v, 0.0)
-                    return v.sum() + i.sum().astype(jnp.float32)
+
+                    def body(acc, q):
+                        v, i = fused_ivf_search_math(
+                            q, *args, sp,
+                            k=K, nprobe=nprobe, window=window, metric="L2",
+                            recall_target=idx.recall_target,
+                            union_cap=ucap, qc=qc,
+                        )
+                        v = jnp.where(jnp.isfinite(v), v, 0.0)
+                        return acc + v.sum() + i.sum().astype(jnp.float32), None
+
+                    acc, _ = lax.scan(body, jnp.float32(0.0), qs)
+                    return acc
                 return jax.jit(many)
 
             sweep = {}
             best = None
-            for nprobe in (1, 2, 4):
+            for nprobe in (8, 16, 32):
+                ucap = default_union_cap(idx.nlist, nprobe)
+                qc = pick_query_chunk(nprobe, window, DIM, 1, Q_BATCH,
+                                      union_cap=ucap)
                 # recall through the shipped CLASS path (identical kernel)
                 _, pred = idx.search(qstack32[0][:RECALL_QUERIES], K,
                                      nprobe=nprobe)
@@ -334,22 +346,19 @@ def main() -> None:
                 hits = sum(len(set(p.tolist()) & set(t.tolist()))
                            for p, t in zip(pred, truth))
                 rec = hits / truth.size
-                qc = pick_query_chunk(nprobe, window, DIM, 1,
-                                      REPS * Q_BATCH)
-                many = make_ivf(nprobe, qc)
+                many = make_ivf(nprobe, ucap, qc)
                 args = fused_args + (spill if spill is not None else ())
-                qflat = qstack32.reshape(-1, DIM)
-                float(many(qflat, *args))
+                float(many(qstack32, *args))
                 t0 = time.perf_counter()
                 float(trivial(sq_c))
                 rtt = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                float(many(qflat, *args))
+                float(many(qstack32, *args))
                 per = max((time.perf_counter() - t0 - rtt) / REPS, 1e-9)
                 qps = Q_BATCH / per
                 sweep[str(nprobe)] = {"qps": round(qps, 1),
                                       "recall_at_10": round(rec, 4),
-                                      "query_chunk": qc}
+                                      "union_cap": ucap, "query_chunk": qc}
                 if rec >= 0.99 and (best is None or qps > best[1]):
                     best = (nprobe, qps, rec)
             ivf_extras["ivf_sweep"] = sweep

@@ -1,16 +1,17 @@
 """TPU tuning sweep for the fused IVF path (library defaults come from here).
 
-Sweeps {balance mode x window_quantile x nlist x dtype x nprobe x query
-chunk} on the bench's 1M x 384 mixture workload, printing one JSON line per
-config: amortized QPS (bench.py protocol: REPS batches inside one jit,
-checksum output, trivial-dispatch RTT subtracted) and recall@10 vs the fp32
-exact oracle at >=1024 queries.
+Sweeps {balance mode x nlist x dtype x nprobe x union_cap x query chunk} on
+the bench's 1M x 384 mixture workload, printing one JSON line per config:
+amortized QPS (bench.py protocol: REPS batches inside one jit, checksum
+output, trivial-dispatch RTT subtracted) and recall@10 vs the fp32 exact
+oracle at >=1024 queries.
 
 Usage (ONE process at a time on the tunneled TPU — CLAUDE.md):
     python -m benchmarks.ivf_sweep                      # default grid
-    python -m benchmarks.ivf_sweep --configs spill:0.98:4096:int8:1:256 ...
+    python -m benchmarks.ivf_sweep --configs reassign:4096:int8:8:64:64 ...
 
-Each config string is balance:quantile:nlist:dtype:nprobe:qc (qc 0 = auto).
+Each config string is balance:nlist:dtype:nprobe:union_cap:qc
+(union_cap/qc 0 = auto).
 """
 
 from __future__ import annotations
@@ -29,17 +30,15 @@ REPS = 8
 RECALL_QUERIES = 1024
 
 DEFAULT_GRID = [
-    # balance:quantile:nlist:dtype:nprobe:qc
-    "spill:0.98:4096:int8:1:0",
-    "spill:0.9:4096:int8:1:0",
-    "spill:0.75:4096:int8:1:0",
-    "reassign:0.75:4096:int8:1:0",
-    "reassign:0.75:4096:int8:2:0",
-    "reassign:0.5:4096:int8:2:0",
-    "reassign:0.75:8192:int8:2:0",
-    "spill:0.9:4096:bfloat16:1:0",
-    "reassign:0.75:4096:int8:1:128",
-    "reassign:0.75:4096:int8:1:64",
+    # balance:nlist:dtype:nprobe:union_cap:qc
+    "reassign:4096:int8:8:0:0",
+    "reassign:4096:int8:16:0:0",
+    "reassign:4096:int8:32:0:0",
+    "reassign:4096:int8:16:128:128",
+    "reassign:4096:int8:16:32:32",
+    "spill:4096:int8:16:0:0",
+    "reassign:8192:int8:16:0:0",
+    "reassign:4096:bfloat16:16:0:0",
 ]
 
 
@@ -51,10 +50,12 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
     from rag_faiss_embedding_tpu.ops import distance as dist_ops
     from rag_faiss_embedding_tpu.ops.ivf_scan import (
+        default_union_cap,
         fused_ivf_search_math,
         pick_query_chunk,
     )
@@ -81,56 +82,64 @@ def main() -> None:
         return db[src] + 0.3 * noise
 
     db = gen_db(key)
-    qstack = gen_q(jax.random.fold_in(key, 1), db)
+    qstack = gen_q(jax.random.fold_in(key, 1), db).reshape(
+        REPS, Q_BATCH, DIM
+    )
     jax.block_until_ready((db, qstack))
 
     trivial = jax.jit(lambda x: x.sum())
     float(trivial(qstack))
 
-    sub_q = qstack[:RECALL_QUERIES]
+    sub_q = qstack[0][:RECALL_QUERIES]
     _, truth = dist_ops.exact_search(sub_q, db, K, metric="L2",
                                      chunk_size=524288)
     truth = np.asarray(truth)
 
     built = {}
     for spec in args.configs:
-        balance, wq, nlist, dtype, nprobe, qc = spec.split(":")
-        wq, nlist, nprobe, qc = float(wq), int(nlist), int(nprobe), int(qc)
-        build_key = (balance, wq, nlist, dtype)
+        balance, nlist, dtype, nprobe, ucap, qc = spec.split(":")
+        nlist, nprobe, ucap, qc = int(nlist), int(nprobe), int(ucap), int(qc)
+        build_key = (balance, nlist, dtype)
         try:
             if build_key not in built:
                 idx = IVFFlatIndex(DIM, nlist=nlist, dtype=dtype,
                                    train_iters=args.train_iters,
                                    balance=balance)
-                idx.window_quantile = wq
                 t0 = time.perf_counter()
                 idx.build(db)
                 built[build_key] = (idx, time.perf_counter() - t0)
             idx, build_s = built[build_key]
             window = idx._window
-            spill = idx._pending_dev() if idx._pending.ntotal else None
-            fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
-                          idx._sorted_scales, idx._sorted_sq,
-                          idx._sorted_ids, idx._offsets_ext,
-                          idx._lengths_ext)
+            if ucap == 0:
+                ucap = default_union_cap(idx.nlist, nprobe)
             if qc == 0:
                 qc = pick_query_chunk(
                     nprobe, window, DIM, jnp.dtype(idx.dtype).itemsize,
-                    REPS * Q_BATCH,
+                    Q_BATCH, union_cap=ucap,
                 )
+            spill = idx._pending_dev() if idx._pending.ntotal else None
+            fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
+                          idx._sorted_scales, idx._sorted_sq,
+                          idx._sorted_ids)
 
             def many(qs, *a):
                 if spill is not None:
                     a, sp = a[:-4], a[-4:]
                 else:
                     sp = None
-                v, i = fused_ivf_search_math(
-                    qs.reshape(-1, qc, DIM), *a, sp,
-                    k=K, nprobe=nprobe, window=window, metric="L2",
-                    recall_target=idx.recall_target,
-                )
-                v = jnp.where(jnp.isfinite(v), v, 0.0)
-                return v.sum() + i.sum().astype(jnp.float32)
+
+                def body(acc, q):
+                    v, i = fused_ivf_search_math(
+                        q, *a, sp,
+                        k=K, nprobe=nprobe, window=window, metric="L2",
+                        recall_target=idx.recall_target,
+                        union_cap=ucap, qc=qc,
+                    )
+                    v = jnp.where(jnp.isfinite(v), v, 0.0)
+                    return acc + v.sum() + i.sum().astype(jnp.float32), None
+
+                acc, _ = lax.scan(body, jnp.float32(0.0), qs)
+                return acc
 
             many = jax.jit(many)
             call_args = fused_args + (spill if spill is not None else ())
@@ -142,6 +151,7 @@ def main() -> None:
             float(many(qstack, *call_args))
             per = max((time.perf_counter() - t0 - rtt) / REPS, 1e-9)
 
+            idx.union_cap = ucap
             _, pred = idx.search(sub_q, K, nprobe=nprobe)
             pred = np.asarray(pred)
             hits = sum(len(set(p.tolist()) & set(t.tolist()))
@@ -150,7 +160,8 @@ def main() -> None:
             print(json.dumps({
                 "config": spec, "qps": round(Q_BATCH / per, 1),
                 "recall_at_10": round(rec, 4), "window": window,
-                "spill_rows": int(idx._pending.ntotal), "qc": qc,
+                "union_cap": ucap, "qc": qc,
+                "spill_rows": int(idx._pending.ntotal),
                 "build_s": round(build_s, 1),
                 "batch_ms": round(per * 1e3, 3),
             }), flush=True)

@@ -7,21 +7,26 @@ scan — and, with int8 storage, the only tier whose throughput ceiling exceeds
 the chip's full-scan matmul roofline (it prunes the matmul itself).
 
 TPU-first design decisions (SURVEY.md §7 "IVF irregularity on TPU"):
-- vectors are stored CLUSTER-SORTED in one contiguous device buffer (plus
-  parallel sqnorm/row-id arrays) — no per-list ragged structures;
-- a probe reads a fixed-size window of ``C`` slots (C = the P98 list length,
-  padded to 128) starting at the list offset, with a validity mask —
-  variable-length lists become fixed-shape gathers XLA can vectorize; rows
-  of lists longer than C spill into the exactly-scanned pending tier;
+- vectors are stored in a BLOCK-PADDED device buffer: every list owns
+  exactly ``window`` slots (plus one zeroed sentinel block), dead slots
+  carry id -1 — no per-list ragged structures, and a probe of list l is a
+  CONTIGUOUS (window, D) block at l*window, so the fused kernel's union
+  gather is a large-block gather, not a row gather;
 - the default search path is the FUSED batched kernel (ops/ivf_scan.py):
-  coarse scan + dedup'd union gather + one MXU matmul + approx top-k +
-  spill merge in ONE jitted program (the per-query windowed path below is
-  the semantics reference and the small-batch fallback);
+  one coarse matmul for the whole batch, cell-sorted query order, per-chunk
+  min-rank-compacted unions, one MXU matmul per chunk, approx top-k, and a
+  single whole-batch spill merge — all in ONE jitted program (the per-query
+  windowed path below is the semantics reference and small-batch fallback);
 - storage may be float32, bfloat16, or int8 (SQ8: symmetric per-row scales,
   EXACT fp32 row norms, int8 MXU matmul — ops/quantize.py rationale), so
   IVF pruning and int8 bandwidth compose;
 - metric is "L2" or "IP"; IP uses spherical k-means (normalized centroids,
   dot-product assignment) so the coarse partition matches the probe rule;
+- list balance is the window-size lever (the gather pays window slots per
+  probed list): ``balance="spill"`` caps the window at a list-length
+  quantile and spills overflow to the exactly-scanned pending tier;
+  ``balance="reassign"`` runs a capacity-capped assignment (overflow rows
+  take their next-nearest list) so windows stay near the mean length;
 - streaming adds land in a flat exactly-scanned pending tier (device
   resident) that is merged by ``rebuild()`` — adds never degrade recall
   (BASELINE.md config #5), unlike append-in-place schemes that skew lists.
@@ -82,7 +87,7 @@ def probe_scan_math(
     )
     q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)  # (Q,)
     dist = q_sq[:, None, None] - 2.0 * dots + sq
-    dist = jnp.where(valid, jnp.maximum(dist, 0.0), jnp.inf)
+    dist = jnp.where(valid & (ids >= 0), jnp.maximum(dist, 0.0), jnp.inf)
 
     flat_dist = dist.reshape(nq, p * window)
     flat_ids = ids.reshape(nq, p * window)
@@ -153,7 +158,8 @@ class IVFFlatIndex:
         seed: int = 0,
         recall_target: Optional[float] = None,
         balance: str = "spill",
-        reassign_choices: int = 3,
+        reassign_choices: int = 16,
+        union_cap: Optional[int] = None,
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -182,16 +188,16 @@ class IVFFlatIndex:
         self.centroids: Optional[jax.Array] = None   # (nlist, D) f32
         self._cent_store: Optional[jax.Array] = None  # coarse-scan dtype
         self._cent_sq: Optional[jax.Array] = None
+        # block-padded storage: ((nlist+1)*window, ...) with a zeroed
+        # sentinel block at index nlist; dead slots carry id -1
         self._sorted_vecs: Optional[jax.Array] = None  # codes if quantized
         self._sorted_scales: Optional[jax.Array] = None
         self._sorted_sq: Optional[jax.Array] = None
         self._sorted_ids: Optional[jax.Array] = None
-        self._offsets: Optional[jax.Array] = None
-        self._lengths: Optional[jax.Array] = None
-        self._offsets_ext: Optional[jax.Array] = None  # +sentinel slot
-        self._lengths_ext: Optional[jax.Array] = None
+        self._offsets: Optional[jax.Array] = None   # (nlist,) = l*window
+        self._lengths: Optional[jax.Array] = None   # (nlist,) live counts
         self._window = 0
-        self._n_built = 0
+        self._n_built = 0          # live rows in the block-padded tier
         # exact pending tier for streaming adds
         self._pending = FlatIndex(dim, metric=metric, dtype=dtype,
                                   device=self.device)
@@ -200,7 +206,7 @@ class IVFFlatIndex:
         # (kept on host for persistence, mirrored on device for the hot path)
         self._pending_rowids = np.zeros((0,), np.int32)
         self._pending_rowids_dev = None
-        self._spill_pos = np.zeros((0,), np.int64)  # sorted-array coords
+        self._n_spill = 0          # rows in pending from build overflow
         self._n_streamed = 0
         self._next_id = 0
         self.rebuild_threshold = 0.25  # rebuild when STREAMED > 25% of built
@@ -212,9 +218,12 @@ class IVFFlatIndex:
         #   query). balance="reassign": overflow rows move to their
         #   next-nearest list with room (balanced_assignment) — smaller
         #   windows and near-zero spill, at the cost that a displaced row is
-        #   only found when its host list is probed (raise nprobe by ~1).
+        #   only found when its host list is probed (the fused kernel's
+        #   chunk unions largely recover this).
         self.balance = balance
         self.reassign_choices = int(reassign_choices)
+        # fused-kernel union budget (None = ops/ivf_scan.default_union_cap)
+        self.union_cap = union_cap
 
     # ------------------------------------------------------------- building
     @property
@@ -234,24 +243,30 @@ class IVFFlatIndex:
         )
         self.is_trained = True
 
+    def _reassign_cap(self, mean_len: float) -> int:
+        """Capacity per list for balance='reassign': 1.5x the mean length
+        (rounded to 128) keeps total capacity ~1.5x N, so the greedy
+        multi-choice assignment almost never exhausts its choices — a cap AT
+        the mean (zero headroom) strands ~40% of rows in the exact tier."""
+        return int(_round_up(max(128, int(mean_len * 1.5)), 128))
+
     def build(self, vectors: np.ndarray | jax.Array,
               row_ids: Optional[np.ndarray] = None) -> None:
-        """Train (if needed) and populate the inverted lists.
+        """Train (if needed) and populate the block-padded inverted lists.
 
         The entire build stays on device — assignment (point-chunked),
-        argsort, gather, bincount, cumsum — with ONE scalar host sync for the
-        window size. The previous host-side sort round-tripped the whole
-        corpus through the (slow) host link: 1.5 GB at 1M x 384.
+        argsort, slot scatter (int32 scalars), one block gather — with one
+        tiny lengths sync for the window decision.
         """
         vecs_f32 = jnp.asarray(vectors, jnp.float32)
         n = vecs_f32.shape[0]
         if not self.is_trained:
             self.train(vecs_f32)
-        n_reassign_spill = 0
+        nlist = self.nlist
         if self.balance == "reassign":
             # capacity-capped assignment: overflow rows fall back to their
             # next-nearest list, keeping every window small (the fused scan
-            # pays window bytes per probe)
+            # pays window slots per probed list)
             from ..ops.kmeans import assign_topk
 
             choices, cvals = assign_topk(
@@ -262,137 +277,136 @@ class IVFFlatIndex:
             pref = np.asarray(cvals)
             if self.metric == "IP":
                 pref = -pref  # lexsort wants ascending preference
-            first_lengths = np.bincount(choices_np[:, 0], minlength=self.nlist)
-            cap = int(_round_up(
-                max(128, int(np.quantile(first_lengths,
-                                         self.window_quantile))), 128
-            ))
+            cap = self._reassign_cap(n / nlist)
             assign_np, spill_rows = balanced_assignment(
-                choices_np, pref, self.nlist, cap
+                choices_np, pref, nlist, cap
             )
-            n_reassign_spill = len(spill_rows)
-            # rows that exhausted every choice sort to the tail (sentinel)
-            assignments = jnp.asarray(
-                np.where(assign_np >= 0, assign_np, self.nlist), jnp.int32
-            )
-            lengths = jnp.asarray(
-                np.bincount(assign_np[assign_np >= 0],
-                            minlength=self.nlist).astype(np.int32)
-            )
-            if n_reassign_spill:
+            if len(spill_rows):
                 logger.info(
                     "balanced build: %d rows exhausted %d choices (cap %d); "
                     "spilled to the exact tier",
-                    n_reassign_spill, self.reassign_choices, cap,
+                    len(spill_rows), self.reassign_choices, cap,
                 )
+            # rows that exhausted every choice -> sentinel list (spill)
+            assignments = jnp.asarray(
+                np.where(assign_np >= 0, assign_np, nlist), jnp.int32
+            )
+            lengths_np = np.bincount(
+                assign_np[assign_np >= 0], minlength=nlist
+            ).astype(np.int64)
+            window = int(_round_up(max(int(lengths_np.max()), 1), 128))
         else:
             # point-chunked assignment: a full (N, nlist) score matrix is
             # 16 GB at 1M x 4096
             assignments, _ = kmeans_assign(vecs_f32, self.centroids,
                                            metric=self.metric)
-            lengths = jnp.bincount(
-                assignments, length=self.nlist
-            ).astype(jnp.int32)
+            assignments = assignments.astype(jnp.int32)
+            lengths_np = np.asarray(
+                jnp.bincount(assignments, length=nlist)
+            ).astype(np.int64)
+            max_len = max(int(lengths_np.max()), 1)
+            # Cap the probe window at a list-length quantile: k-means skew
+            # makes the longest list ~8x the mean, and the fixed-window
+            # gather pays for the LONGEST list on every probe. Rows past the
+            # cap spill into the exactly-scanned pending tier.
+            cap = int(_round_up(
+                max(128, int(np.quantile(lengths_np, self.window_quantile))),
+                128,
+            ))
+            window = cap if cap < max_len else int(_round_up(max_len, 128))
+
+        # ---- block-padded scatter (device): every list owns `window` slots
         order = jnp.argsort(assignments, stable=True)
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(lengths)[:-1]]
-        )
+        a_sorted = assignments[order]
         sorted_f32 = vecs_f32[order]
-        sorted_sq = dist_ops.sqnorms(sorted_f32)  # exact, pre-quantization
-        if self.quantized:
-            sorted_vecs, sorted_scales = quantize_rows(sorted_f32)
-        else:
-            sorted_vecs = sorted_f32.astype(self.dtype)
-            sorted_scales = None
         if row_ids is None:
             sorted_ids = order.astype(jnp.int32)
         else:
             sorted_ids = jnp.asarray(row_ids, jnp.int32)[order]
 
-        lengths_np = np.asarray(lengths)  # (nlist,) ints — tiny transfer
-        max_len = max(int(lengths_np.max()), 1)
+        # per-row rank within its list (positions are contiguous after sort)
+        full_offsets = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(
+                jnp.asarray(np.r_[lengths_np, 0], np.int32)
+            ),
+        ])  # (nlist+2,): sentinel rows start at n_assigned
+        rank = jnp.arange(n, dtype=jnp.int32) - full_offsets[a_sorted]
+        keep = (rank < window) & (a_sorted < nlist)
+        n_slots = (nlist + 1) * window
+        dest = jnp.where(keep, a_sorted * window + rank, nlist * window)
+        src = jnp.full((n_slots,), n, jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        src = src.at[nlist * window:].set(n)  # wipe the dump/sentinel block
+
+        sorted_sq = dist_ops.sqnorms(sorted_f32)  # exact, pre-quantization
+        if self.quantized:
+            sorted_codes, sorted_scales = quantize_rows(sorted_f32)
+        else:
+            sorted_codes = sorted_f32.astype(self.dtype)
+            sorted_scales = None
+        zrow = jnp.zeros((1, self.dim), sorted_codes.dtype)
+        padded_codes = jnp.concatenate([sorted_codes, zrow])[src]
+        padded_sq = jnp.concatenate([sorted_sq, jnp.zeros((1,))])[src]
+        padded_ids = jnp.concatenate(
+            [sorted_ids, jnp.full((1,), -1, jnp.int32)]
+        )[src]
+        padded_scales = (
+            jnp.concatenate([sorted_scales, jnp.zeros((1,))])[src]
+            if sorted_scales is not None else None
+        )
+
+        # ---- spill rows (rank >= window, or sentinel list) -> exact tier
         self._pending.reset()
         self._pending_rowids = np.zeros((0,), np.int32)
         self._pending_rowids_dev = None
         self._n_streamed = 0
-        if self.balance == "reassign":
-            # capacity already enforced during assignment; only rows that
-            # exhausted every choice (sorted to the tail) spill
-            window = int(_round_up(max_len, 128))
-            if n_reassign_spill:
-                spill_pos = np.arange(n - n_reassign_spill, n, dtype=np.int64)
-                self._spill_pos = spill_pos
-                pos_dev = jnp.asarray(spill_pos)
-                self._pending.add(sorted_f32[pos_dev])
-                self._pending_rowids = np.asarray(sorted_ids[pos_dev])
-                self._pending_rowids_dev = None
-            else:
-                self._spill_pos = np.zeros((0,), np.int64)
-        # Cap the probe window at a list-length quantile: k-means skew makes
-        # the longest list ~8x the mean, and the fixed-window gather pays for
-        # the LONGEST list on every probe. Rows past the cap spill into the
-        # exactly-scanned pending tier (small, never hurts recall).
-        elif (cap := int(_round_up(
-            max(128, int(np.quantile(lengths_np, self.window_quantile))), 128
-        ))) < max_len:
-            window = cap
-            offsets_np = np.asarray(offsets, np.int64)
-            spill_pos = np.concatenate([
-                np.arange(off + cap, off + ln)
-                for off, ln in zip(offsets_np, lengths_np) if ln > cap
-            ]).astype(np.int64)
-            self._spill_pos = spill_pos
-            pos_dev = jnp.asarray(spill_pos)
+        keep_np = np.asarray(keep)
+        n_spill = int((~keep_np).sum())
+        self._n_spill = n_spill
+        if n_spill:
+            pos_dev = jnp.asarray(np.nonzero(~keep_np)[0])
             self._pending.add(sorted_f32[pos_dev])
             self._pending_rowids = np.asarray(sorted_ids[pos_dev])
             self._pending_rowids_dev = None
-            lengths = jnp.minimum(lengths, cap)
-            logger.info(
-                "capped IVF window at %d (max list %d): %d rows spilled "
-                "to the exact tier", cap, max_len, len(spill_pos),
-            )
-        else:
-            window = int(_round_up(max_len, 128))
-            self._spill_pos = np.zeros((0,), np.int64)
+            if self.balance != "reassign":
+                logger.info(
+                    "capped IVF window at %d (max list %d): %d rows spilled "
+                    "to the exact tier",
+                    window, int(lengths_np.max()), n_spill,
+                )
 
-        # pad one window so every probe window stays in bounds
-        pad = window
-        self._sorted_vecs = jax.device_put(
-            jnp.pad(sorted_vecs, ((0, pad), (0, 0))), self.device
+        lengths = jnp.minimum(
+            jnp.asarray(lengths_np, jnp.int32), window
         )
+        dev = self.device
+        self._sorted_vecs = jax.device_put(padded_codes, dev)
         self._sorted_scales = (
-            jax.device_put(jnp.pad(sorted_scales, (0, pad)), self.device)
-            if sorted_scales is not None else None
+            jax.device_put(padded_scales, dev)
+            if padded_scales is not None else None
         )
-        self._sorted_sq = jax.device_put(jnp.pad(sorted_sq, (0, pad)), self.device)
-        self._sorted_ids = jax.device_put(
-            jnp.pad(sorted_ids, (0, pad), constant_values=-1), self.device
+        self._sorted_sq = jax.device_put(padded_sq, dev)
+        self._sorted_ids = jax.device_put(padded_ids, dev)
+        self._offsets = jax.device_put(
+            jnp.arange(nlist, dtype=jnp.int32) * window, dev
         )
-        self._offsets = jax.device_put(offsets, self.device)
-        self._lengths = jax.device_put(lengths, self.device)
-        # sentinel slot (offset 0, length 0) indexed by dedup'd duplicates
-        # in the fused union kernel
-        self._offsets_ext = jax.device_put(
-            jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)]), self.device
-        )
-        self._lengths_ext = jax.device_put(
-            jnp.concatenate([lengths, jnp.zeros((1,), jnp.int32)]), self.device
-        )
+        self._lengths = jax.device_put(lengths, dev)
         # coarse-scan centroid copy: storage dtype (bf16 for int8 indexes —
         # the coarse ranking only picks lists, full precision is wasted BW)
         cdtype = jnp.bfloat16 if self.quantized else self.dtype
         self._cent_store = jax.device_put(
-            self.centroids.astype(cdtype), self.device
+            self.centroids.astype(cdtype), dev
         )
         self._cent_sq = jax.device_put(
-            dist_ops.sqnorms(self.centroids), self.device
+            dist_ops.sqnorms(self.centroids), dev
         )
         self._window = window
-        self._n_built = n
+        self._n_built = n - n_spill
         self._next_id = n
         logger.info(
-            "built IVF: n=%d nlist=%d window=%d",
-            n, self.nlist, window,
+            "built IVF: n=%d nlist=%d window=%d spill=%d",
+            n, nlist, window, n_spill,
         )
 
     def add(self, vectors: np.ndarray | jax.Array) -> None:
@@ -479,10 +493,10 @@ class IVFFlatIndex:
             return fused_ivf_search(
                 q, self._cent_store, self._cent_sq,
                 self._sorted_vecs, self._sorted_scales,
-                self._sorted_sq, self._sorted_ids,
-                self._offsets_ext, self._lengths_ext, spill,
+                self._sorted_sq, self._sorted_ids, spill,
                 k=k, nprobe=nprobe, window=self._window, metric=self.metric,
                 recall_target=self.recall_target,
+                union_cap=self.union_cap,
             )
         return self._search_windowed(q, k, nprobe)
 
@@ -556,16 +570,17 @@ class IVFFlatIndex:
         self._sorted_ids = None
         self._offsets = None
         self._lengths = None
-        self._offsets_ext = None
-        self._lengths_ext = None
         self._window = 0
         self._n_built = 0
         self._next_id = 0
+        self._n_spill = 0
         self._n_streamed = 0
         self._pending_rowids = np.zeros((0,), np.int32)
         self._pending_rowids_dev = None
-        self._spill_pos = np.zeros((0,), np.int64)
         self._pending.reset()
+
+    def _live_mask(self) -> np.ndarray:
+        return np.asarray(self._sorted_ids) >= 0
 
     def vectors(self) -> np.ndarray:
         """Live vectors in original insertion order (spilled rows counted
@@ -575,20 +590,16 @@ class IVFFlatIndex:
         all_vecs = []
         all_ids = []
         if self._n_built:
-            built = self._sorted_vecs[: self._n_built]
+            live = self._live_mask()
+            built = self._sorted_vecs[jnp.asarray(np.nonzero(live)[0])]
             if self.quantized:
                 from ..ops.quantize import dequantize
 
-                built = np.asarray(
-                    dequantize(built, self._sorted_scales[: self._n_built])
-                )
+                scales = self._sorted_scales[jnp.asarray(np.nonzero(live)[0])]
+                built = np.asarray(dequantize(built, scales))
             else:
                 built = np.asarray(built)
-            ids = np.asarray(self._sorted_ids[: self._n_built])
-            if len(self._spill_pos):
-                keep = np.ones(self._n_built, bool)
-                keep[self._spill_pos] = False
-                built, ids = built[keep], ids[keep]
+            ids = np.asarray(self._sorted_ids)[live]
             all_vecs.append(built.astype(np.float32))
             all_ids.append(ids)
         if self._pending.ntotal:
@@ -601,23 +612,22 @@ class IVFFlatIndex:
         return vecs[np.argsort(ids, kind="stable")]
 
     # ---------------------------------------------------------------- io
-    def _host(self, arr: Optional[jax.Array], n: int) -> np.ndarray:
-        """First n rows as a savez-able numpy array (bf16 -> uint16 bits)."""
-        rows = arr[:n]
-        if rows.dtype == jnp.bfloat16:
-            rows = rows.view(jnp.uint16)
-        return np.asarray(rows)
+    @staticmethod
+    def _to_host(arr: jax.Array) -> np.ndarray:
+        """savez-able numpy view (bf16 -> uint16 bits)."""
+        if arr.dtype == jnp.bfloat16:
+            arr = arr.view(jnp.uint16)
+        return np.asarray(arr)
 
     def state_dict(self) -> dict:
-        """Exact state: the sorted arrays + pending tier are persisted as-is
-        (format "sorted_v2"), so reload is LOSSLESS for every storage dtype —
-        no rebuild-from-dequantized drift, no O(N*nlist) re-assignment on
-        load. (Analog of ``faiss.write_index`` keeping the inverted lists,
+        """Exact state, compact: live block rows in list order + lengths
+        (format "padded_v3") — reload re-scatters into the block-padded
+        layout losslessly for every storage dtype. (Analog of
+        ``faiss.write_index`` keeping the inverted lists,
         ``faiss_store.py:83-97``.)"""
-        n = self._n_built
         state = {
             "kind": "ivf",
-            "format": "sorted_v2",
+            "format": "padded_v3",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
@@ -628,25 +638,26 @@ class IVFFlatIndex:
             "window": self._window,
             "next_id": self._next_id,
             "n_streamed": self._n_streamed,
+            "n_spill": self._n_spill,
             "centroids": np.asarray(self.centroids)
             if self.centroids is not None
             else np.zeros((0, self.dim), np.float32),
         }
-        if n:
+        if self._n_built:
+            live = self._live_mask()
+            pos = jnp.asarray(np.nonzero(live)[0])  # block order
             state.update({
-                "codes": self._host(self._sorted_vecs, n),
-                "sqnorms": np.asarray(self._sorted_sq[:n]),
-                "sorted_ids": np.asarray(self._sorted_ids[:n]),
-                "offsets": np.asarray(self._offsets),
+                "codes": self._to_host(self._sorted_vecs[pos]),
+                "sqnorms": np.asarray(self._sorted_sq[pos]),
+                "sorted_ids": np.asarray(self._sorted_ids[pos]),
                 "lengths": np.asarray(self._lengths),
-                "spill_pos": self._spill_pos,
             })
             if self.quantized:
-                state["scales"] = np.asarray(self._sorted_scales[:n])
+                state["scales"] = np.asarray(self._sorted_scales[pos])
         if self._pending.ntotal:
             p = self._pending
             state.update({
-                "pending_codes": self._host(p._buf, p.ntotal),
+                "pending_codes": self._to_host(p._buf[: p.ntotal]),
                 "pending_sq": np.asarray(p._sq[: p.ntotal]),
                 "pending_rowids": self._pending_rowids,
             })
@@ -658,6 +669,57 @@ class IVFFlatIndex:
         if self.dtype == jnp.bfloat16:
             return jnp.asarray(arr, jnp.uint16).view(jnp.bfloat16)
         return jnp.asarray(arr, self.dtype)
+
+    def _install_blocks(
+        self,
+        codes: jax.Array,        # (n_live, D) live rows in block order
+        sq: jax.Array,
+        ids: jax.Array,
+        scales: Optional[jax.Array],
+        lengths_np: np.ndarray,  # (nlist,) live counts (<= window)
+    ) -> None:
+        """Scatter compact per-list rows into the block-padded layout."""
+        nlist, window = self.nlist, self._window
+        n_live = int(codes.shape[0])
+        listid = np.repeat(np.arange(nlist), lengths_np)
+        rank = np.arange(n_live) - np.repeat(
+            np.r_[0, np.cumsum(lengths_np)[:-1]], lengths_np
+        )
+        dest = jnp.asarray(listid * window + rank, jnp.int32)
+        n_slots = (nlist + 1) * window
+        src = jnp.full((n_slots,), n_live, jnp.int32).at[dest].set(
+            jnp.arange(n_live, dtype=jnp.int32)
+        )
+        dev = self.device
+        zrow = jnp.zeros((1, self.dim), codes.dtype)
+        self._sorted_vecs = jax.device_put(
+            jnp.concatenate([codes, zrow])[src], dev
+        )
+        self._sorted_sq = jax.device_put(
+            jnp.concatenate([sq, jnp.zeros((1,))])[src], dev
+        )
+        self._sorted_ids = jax.device_put(
+            jnp.concatenate([ids, jnp.full((1,), -1, jnp.int32)])[src], dev
+        )
+        self._sorted_scales = (
+            jax.device_put(jnp.concatenate([scales, jnp.zeros((1,))])[src],
+                           dev)
+            if scales is not None else None
+        )
+        self._offsets = jax.device_put(
+            jnp.arange(nlist, dtype=jnp.int32) * window, dev
+        )
+        self._lengths = jax.device_put(
+            jnp.asarray(lengths_np, jnp.int32), dev
+        )
+        cdtype = jnp.bfloat16 if self.quantized else self.dtype
+        self._cent_store = jax.device_put(
+            self.centroids.astype(cdtype), dev
+        )
+        self._cent_sq = jax.device_put(
+            dist_ops.sqnorms(self.centroids), dev
+        )
+        self._n_built = n_live
 
     @classmethod
     def from_state_dict(cls, state: dict, **kwargs) -> "IVFFlatIndex":
@@ -683,7 +745,8 @@ class IVFFlatIndex:
             idx.is_trained = True
 
         fmt = str(item(state.get("format", "")))
-        if fmt != "sorted_v2":  # legacy: insertion-order vectors -> rebuild
+        if fmt not in ("padded_v3", "sorted_v2"):
+            # legacy: insertion-order vectors -> rebuild
             vectors = np.asarray(state["vectors"])
             if len(vectors):
                 idx.build(vectors)
@@ -692,46 +755,30 @@ class IVFFlatIndex:
         idx._window = int(item(state["window"]))
         idx._next_id = int(item(state["next_id"]))
         idx._n_streamed = int(item(state["n_streamed"]))
+        idx._n_spill = int(item(state.get("n_spill", 0)))
         if "codes" in state:
             codes = idx._codes_from_host(np.asarray(state["codes"]))
-            n = codes.shape[0]
-            pad = idx._window
-            dev = idx.device
-            idx._sorted_vecs = jax.device_put(
-                jnp.pad(codes, ((0, pad), (0, 0))), dev
+            sq = jnp.asarray(state["sqnorms"], jnp.float32)
+            ids = jnp.asarray(state["sorted_ids"], jnp.int32)
+            scales = (
+                jnp.asarray(state["scales"], jnp.float32)
+                if idx.quantized else None
             )
-            if idx.quantized:
-                idx._sorted_scales = jax.device_put(
-                    jnp.pad(jnp.asarray(state["scales"], jnp.float32),
-                            (0, pad)), dev
-                )
-            idx._sorted_sq = jax.device_put(
-                jnp.pad(jnp.asarray(state["sqnorms"], jnp.float32), (0, pad)),
-                dev,
-            )
-            idx._sorted_ids = jax.device_put(
-                jnp.pad(jnp.asarray(state["sorted_ids"], jnp.int32), (0, pad),
-                        constant_values=-1), dev
-            )
-            offsets = jnp.asarray(state["offsets"], jnp.int32)
-            lengths = jnp.asarray(state["lengths"], jnp.int32)
-            idx._offsets = jax.device_put(offsets, dev)
-            idx._lengths = jax.device_put(lengths, dev)
-            idx._offsets_ext = jax.device_put(
-                jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)]), dev
-            )
-            idx._lengths_ext = jax.device_put(
-                jnp.concatenate([lengths, jnp.zeros((1,), jnp.int32)]), dev
-            )
-            cdtype = jnp.bfloat16 if idx.quantized else idx.dtype
-            idx._cent_store = jax.device_put(
-                idx.centroids.astype(cdtype), dev
-            )
-            idx._cent_sq = jax.device_put(
-                dist_ops.sqnorms(idx.centroids), dev
-            )
-            idx._spill_pos = np.asarray(state["spill_pos"], np.int64)
-            idx._n_built = n
+            lengths_np = np.asarray(state["lengths"], np.int64)
+            if fmt == "sorted_v2":
+                # legacy contiguous layout: offsets are FULL cumulative list
+                # starts; live rows per list are the first lengths[l] at
+                # offsets[l] (overflow beyond that was spilled separately)
+                offsets_np = np.asarray(state["offsets"], np.int64)
+                pos = np.concatenate([
+                    np.arange(off, off + ln)
+                    for off, ln in zip(offsets_np, lengths_np)
+                ]).astype(np.int64) if lengths_np.sum() else np.zeros(0, np.int64)
+                sel = jnp.asarray(pos)
+                codes, sq, ids = codes[sel], sq[sel], ids[sel]
+                if scales is not None:
+                    scales = scales[sel]
+            idx._install_blocks(codes, sq, ids, scales, lengths_np)
         if "pending_codes" in state:
             p_state = {
                 "dim": idx.dim, "metric": idx.metric, "dtype": str(idx.dtype),

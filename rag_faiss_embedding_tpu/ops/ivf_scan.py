@@ -1,4 +1,4 @@
-"""Fused batched IVF search: coarse quantize + union probe scan in ONE jit.
+"""Fused batched IVF search: coarse + union probe scan in ONE jit.
 
 This is the IVF fast path (the per-query windowed gather in
 ``index/ivf.py:probe_scan_math`` is the semantics reference and the
@@ -6,31 +6,39 @@ small-batch fallback). It replaces ``faiss.IndexIVFFlat.search``
 (BASELINE.md config #3; the reference itself never gets past
 ``faiss.IndexFlatL2``, ``faiss_store.py:29``) with a TPU-first design:
 
-Why the per-query path is slow on TPU: each query gathers its own
+Why per-query probing is slow on TPU: each query gathers its own
 (nprobe, window, D) block and scores it with an einsum whose contraction is
 a batch of M=1 GEMVs — the MXU runs at a tiny fraction of peak, and the
 gather traffic is paid per query. Measured round 1: 12.8k QPS at 1M x 384
-vs 394k for the flat int8 scan it is supposed to beat.
+vs 394k for the flat int8 scan it is supposed to beat. A naive chunked
+"union" that keeps qc*nprobe window slots (round 2 v1) is no better: every
+query is scored against qc x more rows than it probed — at qc=64 that is
+effectively a full scan again (measured 30k QPS).
 
-The fused design amortizes over a query CHUNK (``qc`` queries):
+The v2 design makes the chunk-shared work SMALL, not just shared:
 
-1. coarse: one (qc, nlist) matmul + ``lax.top_k`` -> probe lists per query;
-2. union: the qc*nprobe probed list ids are sorted and deduplicated
-   (duplicates -> a sentinel list of length 0), giving U monotone list
-   slots — one gather of U fixed-size windows (U*window rows, ascending
-   offsets = near-sequential HBM reads);
-3. score: ONE (qc, D) x (D, U*window) matmul on the MXU — int8 codes run
-   with int32 accumulation at 2x bf16 throughput; every query is scored
-   against the whole union, a SUPERSET of its own probed lists, so recall
-   is >= the per-query window path by construction (distances are exact);
-4. select: ``lax.approx_max_k`` over the union scores (XLA's TPU
-   PartialReduce selection), then an optional fused scan over the spill
-   tier (rows past the window cap + streaming adds) merged exactly.
+1. coarse: ONE (Nq, nlist) matmul + ``lax.top_k`` for the whole batch;
+2. sort queries by their top-1 cell (one argsort) — neighbouring queries
+   in the processing order then probe nearly the same lists, so a chunk's
+   probe-set union is close to nprobe lists, not qc*nprobe;
+3. per chunk of ``qc`` queries: COMPACT the union to a fixed budget of
+   ``union_cap`` list slots, ranked by min probe rank (a list that is ANY
+   chunk query's rank-r probe outranks one first probed at rank r+1, so
+   every query's top-``union_cap/qc`` lists are guaranteed in; with the
+   cell sort the effective coverage is far deeper). Duplicates and unused
+   slots point at a sentinel zero-length list;
+4. gather the ``union_cap`` fixed-size list blocks — with the index's
+   block-padded layout (every list owns exactly ``window`` slots) this is
+   a contiguous (U, window, D) block gather, not a row gather — and score
+   with ONE (qc, D) x (D, U*window) MXU matmul (int8 codes run with int32
+   accumulation at 2x bf16 throughput). Distances are exact; selection is
+   ``lax.approx_max_k`` (XLA's TPU PartialReduce);
+5. the spill tier (rows past the window cap + streaming adds) is scored
+   once for the WHOLE batch with a single MXU matmul and merged exactly.
 
-Everything — coarse scan, gather, matmul, selection, spill merge — runs in
-one jitted program; large query batches ``lax.scan`` over chunks inside
-that same program, so per-dispatch overhead is paid once per BATCH, not
-once per stage per chunk.
+Everything — coarse scan, query sort, union compaction, gathers, matmuls,
+selection, merge — runs in one jitted program; query chunks advance via
+``lax.scan``, so per-dispatch overhead is paid once per BATCH.
 """
 
 from __future__ import annotations
@@ -49,21 +57,35 @@ from .quantize import quantize_rows
 # (qc, U*window) score matrix). Conservative: v5e has 16 GB HBM and the
 # database itself can be most of it.
 _STEP_BYTES_BUDGET = 1 << 30
+_RANK_INF = jnp.int32(1 << 30)
+
+
+def default_union_cap(nlist: int, nprobe: int) -> int:
+    """Union slots per chunk: enough that small indexes never truncate
+    (cap >= nlist) and large ones keep every query's top lists plus deep
+    shared coverage. 4x nprobe is the measured sweet spot on cell-sorted
+    mixture queries (benchmarks/ivf_sweep.py)."""
+    return min(nlist, max(64, 4 * nprobe))
 
 
 def pick_query_chunk(
-    nprobe: int, window: int, dim: int, code_bytes: int, n_queries: int
+    nprobe: int,
+    window: int,
+    dim: int,
+    code_bytes: int,
+    n_queries: int,
+    union_cap: Optional[int] = None,
+    nlist: Optional[int] = None,
 ) -> int:
-    """Largest power-of-two query chunk whose per-step intermediates fit.
-
-    Rows gathered per step = qc * nprobe * window (before dedup); the score
-    matrix adds qc * rows * 4 bytes. Bigger chunks amortize selection and
-    dispatch but scan a bigger union per query (cost/query grows ~linearly
-    with qc), so the chunk is also capped at 256.
-    """
+    """Largest power-of-two query chunk (<=256) whose per-step intermediates
+    fit the budget. Rows per step = union_cap * window; the score matrix
+    adds qc * rows * 4 bytes. Bigger chunks amortize the union gather over
+    more queries but dilute probe locality."""
+    if union_cap is None:
+        union_cap = default_union_cap(nlist or (1 << 30), nprobe)
+    rows = union_cap * window
     qc = 256
     while qc > 8:
-        rows = qc * nprobe * window
         step_bytes = rows * dim * code_bytes + qc * rows * 4
         if step_bytes <= _STEP_BYTES_BUDGET:
             break
@@ -71,30 +93,94 @@ def pick_query_chunk(
     return max(8, min(qc, max(8, n_queries)))
 
 
-def _union_lists(probes: jax.Array, nlist: int) -> jax.Array:
-    """Sorted, deduplicated probe list ids; duplicates -> sentinel ``nlist``.
+def _select_union(probes: jax.Array, nlist: int, union_cap: int) -> jax.Array:
+    """Compact a chunk's (qc, nprobe) probe lists to ``union_cap`` unique
+    list ids ranked by min probe rank; unused slots -> sentinel ``nlist``.
 
-    Sorting makes the subsequent window gather walk HBM in ascending-offset
-    order; the sentinel indexes the extra (offset=anywhere, length=0) slot
-    appended to offsets/lengths, so its window is fully masked.
-    """
-    flat = jnp.sort(probes.reshape(-1).astype(jnp.int32))
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), bool), flat[1:] == flat[:-1]]
+    Guarantee: a list probed at rank r by any chunk query survives whenever
+    fewer than ``union_cap`` distinct lists have min-rank <= r — in
+    particular every query's rank-0 list always survives (qc <= union_cap
+    distinct rank-0 lists at most). Output is sorted ascending so the block
+    gather walks HBM in offset order."""
+    qcn, nprobe = probes.shape
+    ids = probes.reshape(-1).astype(jnp.int32)
+    ranks = jnp.broadcast_to(
+        jnp.arange(nprobe, dtype=jnp.int32)[None, :], probes.shape
+    ).reshape(-1)
+    order = jnp.lexsort((ranks, ids))  # primary: id, secondary: rank
+    ids_s = ids[order]
+    ranks_s = ranks[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
     )
-    return jnp.where(dup, jnp.int32(nlist), flat)
+    key = jnp.where(first, ranks_s, _RANK_INF)  # min rank at first occurrence
+    take = min(union_cap, ids_s.shape[0])
+    ord2 = jnp.argsort(key, stable=True)[:take]
+    u = jnp.where(key[ord2] < _RANK_INF, ids_s[ord2], jnp.int32(nlist))
+    return jnp.sort(u)
+
+
+def _score_rows(qf, q_i8, q_scale, rows, rscale, rsq, rid, metric):
+    """Exact (metric-internal, higher-better) scores of queries vs rows."""
+    if rscale is not None:
+        dots = jnp.dot(q_i8, rows.T, preferred_element_type=jnp.int32)
+        dots = dots.astype(jnp.float32) * q_scale[:, None] * rscale[None, :]
+    else:
+        q_cast = qf.astype(rows.dtype)
+        dots = jnp.dot(
+            q_cast, rows.T,
+            preferred_element_type=jnp.float32,
+            precision=_matmul_precision(q_cast),
+        )
+    scores = 2.0 * dots - rsq[None, :] if metric == "L2" else dots
+    return jnp.where(rid[None, :] >= 0, scores, NEG_INF)
 
 
 def _chunk_body(
     q: jax.Array,              # (qc, D) f32
-    centroids: jax.Array,      # (nlist, D) storage dtype
+    q_i8: Optional[jax.Array],  # (qc, D) int8 when storage is quantized
+    q_scale: Optional[jax.Array],
+    probes: jax.Array,         # (qc, nprobe) int32
+    codes: jax.Array,          # ((nlist+1)*window, D) block-padded storage
+    scales: Optional[jax.Array],
+    sorted_sq: jax.Array,      # ((nlist+1)*window,) f32 exact row norms
+    sorted_ids: jax.Array,     # ((nlist+1)*window,) int32, -1 for dead slots
+    *,
+    k: int,
+    nlist: int,
+    window: int,
+    metric: str,
+    recall_target: float,
+    union_cap: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Search one query chunk. Returns (values, ids) on the INTERNAL score
+    scale (higher better)."""
+    d = q.shape[1]
+    u = _select_union(probes, nlist, union_cap)    # (U,)
+
+    rows = codes.reshape(-1, window, d)[u].reshape(-1, d)      # (U*window, D)
+    rid = sorted_ids.reshape(-1, window)[u].reshape(-1)
+    rsq = sorted_sq.reshape(-1, window)[u].reshape(-1)
+    rscale = (
+        scales.reshape(-1, window)[u].reshape(-1)
+        if scales is not None else None
+    )
+    scores = _score_rows(q, q_i8, q_scale, rows, rscale, rsq, rid, metric)
+    k_union = min(k, scores.shape[1])
+    best_v, pos = lax.approx_max_k(scores, k_union,
+                                   recall_target=recall_target)
+    best_i = rid[pos.astype(jnp.int32)]
+    return best_v, best_i
+
+
+def fused_ivf_search_math(
+    q: jax.Array,              # (Nq, D) f32 queries
+    centroids: jax.Array,      # (nlist, D) coarse-scan dtype
     cent_sq: jax.Array,        # (nlist,) f32
-    codes: jax.Array,          # (Npad, D) int8 / bf16 / f32, cluster-sorted
-    scales: Optional[jax.Array],   # (Npad,) f32 for int8 codes, else None
-    sorted_sq: jax.Array,      # (Npad,) f32 exact row norms
-    sorted_ids: jax.Array,     # (Npad,) int32, -1 past live data
-    offsets_ext: jax.Array,    # (nlist+1,) int32 (sentinel slot appended)
-    lengths_ext: jax.Array,    # (nlist+1,) int32 (sentinel length 0)
+    codes: jax.Array,          # ((nlist+1)*window, D) block-padded
+    scales: Optional[jax.Array],
+    sorted_sq: jax.Array,
+    sorted_ids: jax.Array,
     spill: Optional[Tuple[jax.Array, ...]],  # (codes, scales|None, sq, ids)
     *,
     k: int,
@@ -102,91 +188,104 @@ def _chunk_body(
     window: int,
     metric: str,
     recall_target: float,
+    union_cap: int,
+    qc: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Search one query chunk. Returns (values, ids) on the FINAL scale
-    (L2: squared distance ascending; IP: score descending)."""
+    """Whole-batch fused search; one dispatch. Returns (values, ids) on the
+    FINAL scale (L2: squared distance ascending; IP: score descending).
+
+    Exposed unjitted so the benchmark can wrap THIS function (the shipped
+    path) in its checksum-amortized timing harness.
+    """
     nlist = centroids.shape[0]
-    qc = q.shape[0]
+    nq, d = q.shape
+    nprobe = min(nprobe, nlist)
     quantized = scales is not None
-
     qf = q.astype(jnp.float32)
-    q_sq = jnp.sum(qf * qf, axis=-1)  # (qc,)
+    q_sq = jnp.sum(qf * qf, axis=-1)
 
-    # 1. coarse top-nprobe (internal score: higher is better)
-    qc_cast = qf.astype(centroids.dtype)
+    # 1. coarse top-nprobe for the whole batch (one MXU matmul)
+    qcast = qf.astype(centroids.dtype)
     cdots = jnp.dot(
-        qc_cast, centroids.T,
+        qcast, centroids.T,
         preferred_element_type=jnp.float32,
-        precision=_matmul_precision(qc_cast),
+        precision=_matmul_precision(qcast),
     )
     cscores = 2.0 * cdots - cent_sq[None, :] if metric == "L2" else cdots
-    _, probes = lax.top_k(cscores, nprobe)  # (qc, nprobe)
+    _, probes = lax.top_k(cscores, nprobe)       # (Nq, nprobe)
 
-    # 2. union of probed lists -> one windowed gather
-    u = _union_lists(probes, nlist)               # (qc*nprobe,)
-    starts = offsets_ext[u]                       # (U,)
-    lens = lengths_ext[u]                         # (U,)
-    slot = jnp.arange(window, dtype=jnp.int32)
-    idx = starts[:, None] + slot[None, :]         # (U, window)
-    valid = slot[None, :] < lens[:, None]
-    idx = jnp.where(valid, idx, 0).reshape(-1)    # (R,)
-
-    rows = codes[idx]                             # (R, D)
-    rsq = sorted_sq[idx]                          # (R,)
-    rid = jnp.where(valid.reshape(-1), sorted_ids[idx], -1)
-
-    # 3. one MXU matmul for the whole chunk x union
+    # 2. cell-sort the queries; pad with replicas of the last sorted query
+    # (their probes are duplicates — they cost no union slots)
+    perm = jnp.argsort(probes[:, 0], stable=True)
+    qp = qf[perm]
+    pp = probes[perm]
+    pad = (-nq) % qc
+    if pad:
+        qp = jnp.concatenate([qp, jnp.broadcast_to(qp[-1:], (pad, d))])
+        pp = jnp.concatenate(
+            [pp, jnp.broadcast_to(pp[-1:], (pad, nprobe))]
+        )
     if quantized:
-        q_i8, q_scale = quantize_rows(qf)
-        dots_i32 = jnp.dot(q_i8, rows.T, preferred_element_type=jnp.int32)
-        dots = (
-            dots_i32.astype(jnp.float32)
-            * q_scale[:, None]
-            * scales[idx][None, :]
-        )
+        qp_i8, qp_scale = quantize_rows(qp)
     else:
-        q_cast = qf.astype(codes.dtype)
-        dots = jnp.dot(
-            q_cast, rows.T,
-            preferred_element_type=jnp.float32,
-            precision=_matmul_precision(q_cast),
-        )
-    scores = 2.0 * dots - rsq[None, :] if metric == "L2" else dots
-    scores = jnp.where(rid[None, :] >= 0, scores, NEG_INF)
+        qp_i8 = qp_scale = None
 
-    # 4. select; spill tier (capped-window overflow + streaming adds) is
-    # scanned exactly and merged on the same internal score scale
-    k_union = min(k, scores.shape[1])
-    best_v, pos = lax.approx_max_k(scores, k_union,
-                                   recall_target=recall_target)
-    best_i = rid[pos.astype(jnp.int32)]
+    body = functools.partial(
+        _chunk_body,
+        codes=codes, scales=scales,
+        sorted_sq=sorted_sq, sorted_ids=sorted_ids,
+        k=k, nlist=nlist, window=window, metric=metric,
+        recall_target=recall_target, union_cap=union_cap,
+    )
+    steps = qp.shape[0] // qc
+    if steps == 1:
+        v, i = body(qp, qp_i8, qp_scale, pp)
+        vals_p, ids_p = v, i
+    else:
+        qs = qp.reshape(steps, qc, d)
+        ps = pp.reshape(steps, qc, -1)
+        if quantized:
+            q8s = qp_i8.reshape(steps, qc, d)
+            qss = qp_scale.reshape(steps, qc)
 
+            def step(_, xs):
+                return None, body(xs[0], xs[1], xs[2], xs[3])
+
+            _, (v, i) = lax.scan(step, None, (qs, q8s, qss, ps))
+        else:
+
+            def step(_, xs):
+                return None, body(xs[0], None, None, xs[1])
+
+            _, (v, i) = lax.scan(step, None, (qs, ps))
+        vals_p = v.reshape(steps * qc, -1)
+        ids_p = i.reshape(steps * qc, -1)
+
+    # un-permute back to caller order (internal score scale, higher better)
+    inv = jnp.argsort(perm)
+    best_v = vals_p[:nq][inv]
+    best_i = ids_p[:nq][inv]
+
+    # 3. spill tier (window-cap overflow + streaming adds): ONE whole-batch
+    # MXU matmul, exact top-k, exact merge
     if spill is not None:
         s_codes, s_scales, s_sq, s_ids = spill
         if quantized:
-            sdots = jnp.dot(q_i8, s_codes.T,
-                            preferred_element_type=jnp.int32)
-            sdots = (
-                sdots.astype(jnp.float32)
-                * q_scale[:, None]
-                * s_scales[None, :]
-            )
+            qf_i8, qf_scale = quantize_rows(qf)
         else:
-            qs_cast = qf.astype(s_codes.dtype)
-            sdots = jnp.dot(
-                qs_cast, s_codes.T,
-                preferred_element_type=jnp.float32,
-                precision=_matmul_precision(qs_cast),
-            )
-        sscores = 2.0 * sdots - s_sq[None, :] if metric == "L2" else sdots
-        sscores = jnp.where(s_ids[None, :] >= 0, sscores, NEG_INF)
+            qf_i8 = qf_scale = None
+        sscores = _score_rows(
+            qf, qf_i8, qf_scale, s_codes, s_scales, s_sq, s_ids, metric
+        )
         k_spill = min(k, sscores.shape[1])
         sv, sp = lax.top_k(sscores, k_spill)
         si = s_ids[sp]
         best_v, best_i = merge_topk(
-            best_v, best_i, sv, si, min(k, k_union + k_spill)
+            best_v, best_i, sv, si,
+            min(k, best_v.shape[1] + k_spill),
         )
 
+    # 4. final scale conversion + k padding
     ok = best_v > NEG_INF
     best_i = jnp.where(ok, best_i, -1)
     if metric == "L2":
@@ -194,63 +293,23 @@ def _chunk_body(
         vals = jnp.where(ok, vals, jnp.inf)
     else:
         vals = jnp.where(ok, best_v, -jnp.inf)
-    if vals.shape[1] < k:  # tiny union/corpus: pad out to the requested k
-        pad = k - vals.shape[1]
+    if vals.shape[1] < k:
+        padk = k - vals.shape[1]
         fill = jnp.inf if metric == "L2" else -jnp.inf
         vals = jnp.concatenate(
-            [vals, jnp.full((qc, pad), fill, vals.dtype)], axis=1
+            [vals, jnp.full((nq, padk), fill, vals.dtype)], axis=1
         )
         best_i = jnp.concatenate(
-            [best_i, jnp.full((qc, pad), -1, jnp.int32)], axis=1
+            [best_i, jnp.full((nq, padk), -1, jnp.int32)], axis=1
         )
     return vals, best_i
 
 
-def fused_ivf_search_math(
-    qstack: jax.Array,         # (steps, qc, D) f32 query chunks
-    centroids: jax.Array,
-    cent_sq: jax.Array,
-    codes: jax.Array,
-    scales: Optional[jax.Array],
-    sorted_sq: jax.Array,
-    sorted_ids: jax.Array,
-    offsets_ext: jax.Array,
-    lengths_ext: jax.Array,
-    spill: Optional[Tuple[jax.Array, ...]],
-    *,
-    k: int,
-    nprobe: int,
-    window: int,
-    metric: str,
-    recall_target: float,
-) -> Tuple[jax.Array, jax.Array]:
-    """lax.scan over query chunks; one dispatch for the whole batch.
-
-    Exposed unjitted so the benchmark can wrap THIS function (the shipped
-    path) in its checksum-amortized timing harness.
-    """
-    body = functools.partial(
-        _chunk_body,
-        centroids=centroids, cent_sq=cent_sq, codes=codes, scales=scales,
-        sorted_sq=sorted_sq, sorted_ids=sorted_ids,
-        offsets_ext=offsets_ext, lengths_ext=lengths_ext, spill=spill,
-        k=k, nprobe=nprobe, window=window, metric=metric,
-        recall_target=recall_target,
-    )
-    if qstack.shape[0] == 1:
-        v, i = body(qstack[0])
-        return v[None], i[None]
-
-    def step(_, q):
-        return None, body(q)
-
-    _, (vals, ids) = lax.scan(step, None, qstack)
-    return vals, ids
-
-
 _fused_jit = functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "window", "metric", "recall_target"),
+    static_argnames=(
+        "k", "nprobe", "window", "metric", "recall_target", "union_cap", "qc"
+    ),
 )(fused_ivf_search_math)
 
 
@@ -262,8 +321,6 @@ def fused_ivf_search(
     scales: Optional[jax.Array],
     sorted_sq: jax.Array,
     sorted_ids: jax.Array,
-    offsets_ext: jax.Array,
-    lengths_ext: jax.Array,
     spill: Optional[Tuple[jax.Array, ...]] = None,
     *,
     k: int,
@@ -271,29 +328,26 @@ def fused_ivf_search(
     window: int,
     metric: str = "L2",
     recall_target: float = 0.995,
+    union_cap: Optional[int] = None,
     qc: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Batched fused IVF search. Returns (values, indices), (Nq, k).
+    """Batched fused IVF search over a block-padded index.
 
-    ``q`` is padded to a multiple of the query chunk ``qc`` (budget-picked
-    when not given) and processed by one jitted scan.
-    """
+    Returns (values, indices), (Nq, k)."""
     nq, dim = q.shape
+    nlist = centroids.shape[0]
+    nprobe = min(nprobe, nlist)
+    if union_cap is None:
+        union_cap = default_union_cap(nlist, nprobe)
     if qc is None:
         qc = pick_query_chunk(
-            nprobe, window, dim, jnp.dtype(codes.dtype).itemsize, nq
+            nprobe, window, dim, jnp.dtype(codes.dtype).itemsize, nq,
+            union_cap=union_cap,
         )
-    pad = (-nq) % qc
-    qf = q.astype(jnp.float32)
-    if pad:
-        qf = jnp.pad(qf, ((0, pad), (0, 0)))
-    qstack = qf.reshape(-1, qc, dim)
-    vals, ids = _fused_jit(
-        qstack, centroids, cent_sq, codes, scales, sorted_sq, sorted_ids,
-        offsets_ext, lengths_ext, spill,
+    qc = min(qc, max(8, nq))
+    return _fused_jit(
+        jnp.asarray(q, jnp.float32), centroids, cent_sq, codes, scales,
+        sorted_sq, sorted_ids, spill,
         k=k, nprobe=nprobe, window=window, metric=metric,
-        recall_target=recall_target,
+        recall_target=recall_target, union_cap=union_cap, qc=qc,
     )
-    vals = vals.reshape(-1, vals.shape[-1])[:nq]
-    ids = ids.reshape(-1, ids.shape[-1])[:nq]
-    return vals, ids
