@@ -31,14 +31,16 @@ RECALL_QUERIES = 1024
 
 DEFAULT_GRID = [
     # balance:nlist:dtype:nprobe:union_cap:qc
-    "reassign:4096:int8:8:0:0",
-    "reassign:4096:int8:16:0:0",
-    "reassign:4096:int8:32:0:0",
-    "reassign:4096:int8:16:128:128",
-    "reassign:4096:int8:16:32:32",
-    "spill:4096:int8:16:0:0",
-    "reassign:8192:int8:16:0:0",
-    "reassign:4096:bfloat16:16:0:0",
+    "reassign:4096:int8:16:128:32",
+    "reassign:4096:int8:16:128:64",
+    "reassign:4096:int8:16:256:64",
+    "reassign:4096:int8:32:256:64",
+    "reassign:4096:int8:8:64:16",
+    "reassign:8192:int8:16:128:32",
+    "reassign:8192:int8:16:256:64",
+    "reassign:8192:int8:32:256:64",
+    "spill:8192:int8:16:128:32",
+    "reassign:4096:bfloat16:16:128:32",
 ]
 
 

@@ -241,6 +241,13 @@ class IVFFlatIndex:
             vecs, self.nlist, n_iters=self.train_iters, seed=self.seed,
             spherical=(self.metric == "IP"),
         )
+        if self.nlist >= 64:
+            # relabel lists spatially so the fused kernel's cell-sorted
+            # query chunks share probe lists (ops/kmeans.spatial_order)
+            from ..ops.kmeans import spatial_order
+
+            order = spatial_order(self.centroids, seed=self.seed)
+            self.centroids = self.centroids[jnp.asarray(order)]
         self.is_trained = True
 
     def _reassign_cap(self, mean_len: float) -> int:

@@ -63,9 +63,8 @@ _RANK_INF = jnp.int32(1 << 30)
 def default_union_cap(nlist: int, nprobe: int) -> int:
     """Union slots per chunk: enough that small indexes never truncate
     (cap >= nlist) and large ones keep every query's top lists plus deep
-    shared coverage. 4x nprobe is the measured sweet spot on cell-sorted
-    mixture queries (benchmarks/ivf_sweep.py)."""
-    return min(nlist, max(64, 4 * nprobe))
+    shared coverage (8x nprobe; benchmarks/ivf_sweep.py)."""
+    return min(nlist, max(64, 8 * nprobe))
 
 
 def pick_query_chunk(
@@ -77,14 +76,15 @@ def pick_query_chunk(
     union_cap: Optional[int] = None,
     nlist: Optional[int] = None,
 ) -> int:
-    """Largest power-of-two query chunk (<=256) whose per-step intermediates
-    fit the budget. Rows per step = union_cap * window; the score matrix
-    adds qc * rows * 4 bytes. Bigger chunks amortize the union gather over
-    more queries but dilute probe locality."""
+    """Query chunk size: ~union_cap/4 so each chunk's shared union budget
+    comfortably exceeds its queries' distinct top-1 cells (a chunk BIGGER
+    than its union starves every query of even its best list), shrunk
+    further if the per-step intermediates (gathered rows + the
+    (qc, U*window) score matrix) bust the HBM budget."""
     if union_cap is None:
         union_cap = default_union_cap(nlist or (1 << 30), nprobe)
     rows = union_cap * window
-    qc = 256
+    qc = max(16, min(128, union_cap // 4))
     while qc > 8:
         step_bytes = rows * dim * code_bytes + qc * rows * 4
         if step_bytes <= _STEP_BYTES_BUDGET:
