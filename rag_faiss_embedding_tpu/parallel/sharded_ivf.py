@@ -8,25 +8,28 @@ inventory); its single-device analog is ``faiss.IndexIVFFlat``
 
 Design (TPU-first, single-chip parity with index/ivf.py):
 - centroids are trained once on a global sample (ops/kmeans k-means++ +
-  Lloyd) and replicated to every device;
+  Lloyd + spatial relabeling) and replicated to every device;
 - each device of the ``db`` mesh axis owns a contiguous row range and holds
-  its own cluster-sorted local lists; the ENTIRE layout construction —
-  assignment, per-device stable sort, per-device list lengths/offsets,
-  window-overflow spill extraction — happens on device with vectorized
-  (n_dev, rows_per_dev) ops and exactly two tiny host syncs (the window
-  quantile and the spill count), never round-tripping the corpus;
+  its own BLOCK-PADDED local lists (every list owns exactly ``window``
+  slots, dead slots carry id -1 — same layout as the single-chip tier);
+  the ENTIRE layout construction — assignment, per-device stable sort,
+  per-device slot scatter — happens on device with vectorized
+  (n_dev, ...) ops, never round-tripping the corpus;
 - the probe window is capped at a list-length quantile (P98 default, same
-  knob as the single-chip tier): k-means skew otherwise makes every probe
-  pay for the longest list. Rows past the cap spill into a per-device
+  knob as the single-chip tier); rows past the cap spill into a per-device
   exactly-scanned tier, so no row is ever lost;
+- storage may be float32, bfloat16, or int8 (SQ8 per-row scales with exact
+  f32 norms; spill/pending tiers stay bfloat16 — they are tiny);
 - streaming adds land in a host-staged pending tier mirrored to the devices
   round-robin (uniform shapes for shard_map) and scanned exactly; a rebuild
   threshold folds them into the lists (BASELINE.md config #5);
-- query: coarse top-nprobe over the replicated centroids, then under
-  ``shard_map`` each device probes its local lists, exactly scans its local
-  spill + pending tiers, merges locally, and emits a local top-k with
-  GLOBAL row ids; one all-gather of (k values, k ids) per query merges
-  across the mesh — the same tiny collective as the sharded flat scan.
+- query: under ``shard_map`` each device runs the SAME fused batched kernel
+  as the single-chip tier (ops/ivf_scan.fused_ivf_search_math: shared
+  coarse, cell-sorted chunks, compacted unions, one MXU matmul per chunk)
+  over its local lists, exactly scans its local spill + pending tiers,
+  merges locally, and emits a local top-k with GLOBAL row ids; one
+  all-gather of (k values, k ids) per query merges across the mesh —
+  kilobytes on the ICI, not shards.
 
 Row ids returned are global insertion positions, so VectorStore's
 position->doc-id mapping works unchanged.
@@ -44,9 +47,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.logging import get_logger
 from ..index.flat import _round_up
-from ..index.ivf import probe_scan_math
 from ..ops import distance as dist_ops
-from ..ops.kmeans import assign as kmeans_assign, train_kmeans
+from ..ops.ivf_scan import default_union_cap, fused_ivf_search_math, pick_query_chunk
+from ..ops.kmeans import assign as kmeans_assign, spatial_order, train_kmeans
+from ..ops.quantize import quantize_rows
 
 logger = get_logger(__name__)
 
@@ -78,16 +82,19 @@ def _merge_local(parts, k):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_sharded_probe(
+def _build_sharded_fused(
     mesh: Mesh, k: int, window: int, db_axis: str,
-    has_spill: bool, has_pending: bool,
+    nprobe: int, union_cap: int, qc: int, recall_target: float,
+    quantized: bool, has_spill: bool, has_pending: bool,
 ):
-    n_tiers = 1 + has_spill + has_pending
+    n_tiers = has_spill + has_pending
 
-    def kernel(q, vecs, sq, ids, offsets, lengths, probes, *tiers):
-        vals, gids = probe_scan_math(
-            q, vecs[0], sq[0], ids[0], offsets[0], lengths[0], probes,
-            k=k, window=window,
+    def kernel(q, cent, cent_sq, codes, scales, sq, ids, *tiers):
+        vals, gids = fused_ivf_search_math(
+            q, cent, cent_sq, codes[0], scales[0] if quantized else None,
+            sq[0], ids[0], None,
+            k=k, nprobe=nprobe, window=window, metric="L2",
+            recall_target=recall_target, union_cap=union_cap, qc=qc,
         )
         parts = [(vals, gids)]
         rest = list(tiers)
@@ -109,12 +116,13 @@ def _build_sharded_probe(
         out_v = jnp.where(out_i >= 0, out_v, jnp.inf)
         return out_v, out_i
 
-    tier_specs = (P(db_axis),) * (4 * (n_tiers - 1))
+    scale_spec = P(db_axis)
+    tier_specs = (P(db_axis),) * (4 * n_tiers)
     mapped = jax.shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P(), P(db_axis), P(db_axis), P(db_axis),
-                  P(db_axis), P(db_axis), P()) + tier_specs,
+        in_specs=(P(), P(), P(), P(db_axis), scale_spec, P(db_axis),
+                  P(db_axis)) + tier_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -135,35 +143,39 @@ class ShardedIVFIndex:
         db_axis: str = "db",
         train_iters: int = 20,
         seed: int = 0,
+        union_cap: Optional[int] = None,
     ):
         if metric != "L2":
             raise ValueError("ShardedIVFIndex currently supports metric='L2' only")
-        if jnp.dtype(dtype) == jnp.int8:
-            # a bare cast would truncate unit-scale floats to zeros
-            raise ValueError("ShardedIVFIndex supports float32/bfloat16 storage")
         self.dim = int(dim)
         self.mesh = mesh
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         self.metric = metric
         self.dtype = jnp.dtype(dtype)
+        self.quantized = self.dtype == jnp.int8
+        # spill/pending tiers are tiny; int8 storage keeps them in bf16
+        self._tier_dtype = jnp.bfloat16 if self.quantized else self.dtype
         self.db_axis = db_axis
         self.n_dev = mesh.shape[db_axis]
         self.train_iters = train_iters
         self.seed = seed
+        self.union_cap = union_cap
+        self.recall_target = 0.995 if self.quantized else 0.99
         self.window_quantile = 0.98  # single-chip parity (index/ivf.py)
         self.rebuild_threshold = 0.25
         self.centroids: Optional[jax.Array] = None
+        self._cent_sq: Optional[jax.Array] = None
         self._sharding = NamedSharding(mesh, P(db_axis))
         self._replicated = NamedSharding(mesh, P())
         self._clear_state()
 
     def _clear_state(self) -> None:
-        self._vecs = None          # (n_dev, per+window, D) storage dtype
-        self._sq = None            # (n_dev, per+window) f32
-        self._ids = None           # (n_dev, per+window) int32, -1 invalid
-        self._offsets = None       # (n_dev, nlist) int32
-        self._lengths = None       # (n_dev, nlist) int32 (capped)
+        # block-padded per-device lists: every list owns `window` slots
+        self._vecs = None          # (n_dev, (nlist+1)*window, D) storage
+        self._scales = None        # (n_dev, (nlist+1)*window) f32 (int8)
+        self._sq = None            # (n_dev, (nlist+1)*window) f32
+        self._ids = None           # (n_dev, (nlist+1)*window) int32, -1 dead
         self._spill = None         # None | (vecs, sq, ids, counts) sharded
         self._window = 0
         self._n_built = 0
@@ -187,10 +199,21 @@ class ShardedIVFIndex:
             logger.warning("reducing nlist %d -> %d", self.nlist, nlist)
             self.nlist = nlist
         if self.centroids is None or self.centroids.shape[0] != self.nlist:
-            self.centroids, _ = train_kmeans(
+            cents, _ = train_kmeans(
                 vecs, self.nlist, n_iters=self.train_iters, seed=self.seed,
             )
-        cent_rep = jax.device_put(self.centroids, self._replicated)
+            if self.nlist >= 64:
+                # spatial relabeling: the fused kernel's chunk locality
+                # needs id-adjacent lists to be spatially adjacent
+                order = spatial_order(cents, seed=self.seed)
+                cents = cents[jnp.asarray(order)]
+            self.centroids = cents
+        cent_rep = jax.device_put(
+            self.centroids.astype(self._tier_dtype), self._replicated
+        )
+        cent_sq = jax.device_put(
+            dist_ops.sqnorms(self.centroids), self._replicated
+        )
 
         # ---- vectorized per-device layout (one argsort over (n_dev, per))
         assigns, _ = kmeans_assign(vecs, self.centroids)
@@ -218,22 +241,62 @@ class ShardedIVFIndex:
         base = (jnp.arange(self.n_dev, dtype=jnp.int32) * per)[:, None]
         gids = jnp.where(valid, base + order.astype(jnp.int32), -1)
 
-        # ---- window cap at the list-length quantile; overflow spills to a
-        # per-device exact tier (host syncs: the quantile + the spill count)
+        # ---- window cap at the list-length quantile (one tiny host sync)
         lengths_np = np.asarray(lengths)
         max_len = max(int(lengths_np.max()), 1)
         cap = int(_round_up(
             max(128, int(np.quantile(lengths_np, self.window_quantile))), 128
         ))
-        self._spill = None
-        if cap < max_len:
-            window = cap
-            off_of_row = jnp.take_along_axis(
-                offsets, jnp.clip(sorted_a, 0, self.nlist - 1), axis=1
+        window = cap if cap < max_len else int(_round_up(max_len, 128))
+
+        # per-row rank within its (device-local) list
+        off_of_row = jnp.take_along_axis(
+            offsets, jnp.clip(sorted_a, 0, self.nlist - 1), axis=1
+        )
+        rank = jnp.arange(per, dtype=jnp.int32)[None, :] - off_of_row
+        keep = valid & (rank < window)
+
+        # ---- block-padded slot scatter per device (int32 scalars), then
+        # one block gather of the actual rows
+        n_slots = (self.nlist + 1) * window
+        dest = jnp.where(
+            keep, sorted_a * window + rank, self.nlist * window
+        )
+        col = jnp.broadcast_to(
+            jnp.arange(per, dtype=jnp.int32)[None, :], (self.n_dev, per)
+        )
+        src = jnp.full((self.n_dev, n_slots), per, jnp.int32)
+        src = jax.vmap(lambda s, d, c: s.at[d].set(c))(src, dest, col)
+        src = src.at[:, self.nlist * window:].set(per)  # wipe dump block
+
+        if self.quantized:
+            codes, scales = quantize_rows(
+                sorted_vecs.reshape(-1, self.dim)
             )
-            rank = jnp.arange(per, dtype=jnp.int32)[None, :] - off_of_row
-            spill_mask = valid & (rank >= cap)
-            s_counts = spill_mask.sum(axis=1).astype(jnp.int32)
+            codes = codes.reshape(self.n_dev, per, self.dim)
+            scales = scales.reshape(self.n_dev, per)
+        else:
+            codes = sorted_vecs.astype(self.dtype)
+            scales = None
+
+        def pad_gather(arr, fill):
+            filler = jnp.full((self.n_dev, 1) + arr.shape[2:], fill,
+                              arr.dtype)
+            return jax.vmap(lambda a, s: a[s])(
+                jnp.concatenate([arr, filler], axis=1), src
+            )
+
+        padded_codes = pad_gather(codes, 0)
+        padded_sq = pad_gather(sorted_sq, 0.0)
+        padded_ids = pad_gather(gids, -1)
+        padded_scales = pad_gather(scales, 0.0) if scales is not None else None
+
+        # ---- spill rows (rank >= window) -> per-device exact tier
+        self._spill = None
+        spill_mask = valid & (rank >= window)
+        s_counts = spill_mask.sum(axis=1).astype(jnp.int32)
+        n_spill = int(np.asarray(s_counts).sum())
+        if n_spill:
             s_max = int(np.asarray(s_counts).max())
             s_pad = min(per, _round_up(s_max, 128))
             # spill rows first (stable), then take a uniform prefix
@@ -245,37 +308,27 @@ class ShardedIVFIndex:
                 jnp.take_along_axis(gids, sel, axis=1), -1,
             )
             self._spill = (
-                jax.device_put(sp_vecs.astype(self.dtype), self._sharding),
+                jax.device_put(sp_vecs.astype(self._tier_dtype),
+                               self._sharding),
                 jax.device_put(sp_sq, self._sharding),
                 jax.device_put(sp_ids, self._sharding),
                 jax.device_put(s_counts[:, None], self._sharding),
             )
-            lengths = jnp.minimum(lengths, cap)
             logger.info(
                 "capped sharded-IVF window at %d (max list %d): %d rows "
-                "spilled to per-device exact tiers",
-                cap, max_len, int(np.asarray(s_counts).sum()),
+                "spilled to per-device exact tiers", window, max_len, n_spill,
             )
-        else:
-            window = int(_round_up(max_len, 128))
 
-        # pad one window per device so probe windows stay in bounds
-        self._vecs = jax.device_put(
-            jnp.pad(sorted_vecs, ((0, 0), (0, window), (0, 0))).astype(
-                self.dtype
-            ),
-            self._sharding,
+        self._vecs = jax.device_put(padded_codes, self._sharding)
+        self._scales = (
+            jax.device_put(padded_scales, self._sharding)
+            if padded_scales is not None else None
         )
-        self._sq = jax.device_put(
-            jnp.pad(sorted_sq, ((0, 0), (0, window))), self._sharding
-        )
-        self._ids = jax.device_put(
-            jnp.pad(gids, ((0, 0), (0, window)), constant_values=-1),
-            self._sharding,
-        )
-        self._offsets = jax.device_put(offsets, self._sharding)
-        self._lengths = jax.device_put(lengths, self._sharding)
-        self.centroids = cent_rep
+        self._sq = jax.device_put(padded_sq, self._sharding)
+        self._ids = jax.device_put(padded_ids, self._sharding)
+        self.centroids = jnp.asarray(self.centroids)
+        self._cent_store = cent_rep
+        self._cent_sq = cent_sq
         self._window = window
         self._n_built = n
         self._next_id = n
@@ -331,7 +384,8 @@ class ShardedIVFIndex:
             sq[d, : len(rows)] = (rows.astype(np.float32) ** 2).sum(-1)
             ids[d, : len(rows)] = self._stream_ids[d :: self.n_dev]
         self._pending_dev = (
-            jax.device_put(jnp.asarray(vecs, self.dtype), self._sharding),
+            jax.device_put(jnp.asarray(vecs, self._tier_dtype),
+                           self._sharding),
             jax.device_put(jnp.asarray(sq), self._sharding),
             jax.device_put(jnp.asarray(ids), self._sharding),
             jax.device_put(jnp.asarray(counts), self._sharding),
@@ -352,11 +406,6 @@ class ShardedIVFIndex:
                 jnp.full((nq, k), -1, jnp.int32),
             )
         q = jax.device_put(q, self._replicated)
-        _, probes = dist_ops.exact_search(
-            q, self.centroids, nprobe, metric="L2",
-            chunk_size=min(65536, self.nlist),
-        )
-        probes = jax.device_put(probes, self._replicated)
         if len(self._stream_ids) and self._pending_dev is None:
             self._refresh_pending()
         tiers = ()
@@ -364,13 +413,27 @@ class ShardedIVFIndex:
             tiers = tiers + self._spill
         if self._pending_dev is not None:
             tiers = tiers + self._pending_dev
-        fn = _build_sharded_probe(
+        union_cap = (
+            self.union_cap if self.union_cap is not None
+            else default_union_cap(self.nlist, nprobe)
+        )
+        qc = pick_query_chunk(
+            nprobe, self._window, self.dim, self.dtype.itemsize, nq,
+            union_cap=union_cap,
+        )
+        fn = _build_sharded_fused(
             self.mesh, k, self._window, self.db_axis,
-            self._spill is not None, self._pending_dev is not None,
+            nprobe, union_cap, qc, self.recall_target,
+            self.quantized, self._spill is not None,
+            self._pending_dev is not None,
+        )
+        scales = (
+            self._scales if self.quantized
+            else jnp.zeros((self.n_dev, 1), jnp.float32)
         )
         vals, ids = fn(
-            q, self._vecs, self._sq, self._ids, self._offsets,
-            self._lengths, probes, *tiers,
+            q, self._cent_store, self._cent_sq, self._vecs, scales,
+            self._sq, self._ids, *tiers,
         )
         if vals.shape[1] < k:
             pad = k - vals.shape[1]
@@ -388,18 +451,32 @@ class ShardedIVFIndex:
         self._clear_state()
 
     def vectors(self) -> np.ndarray:
-        """Live vectors in original insertion order (spilled rows live in the
-        sorted buffers too, so the spill tier is NOT double-counted)."""
+        """Live vectors in original insertion order. int8 storage returns
+        the dequantized reconstruction (spilled rows stay full precision in
+        their tier, so they reload exactly)."""
         parts_v, parts_i = [], []
         if self._n_built:
-            per = self._vecs.shape[1] - self._window
-            built = np.asarray(
-                self._vecs[:, :per].astype(jnp.float32)
-            ).reshape(-1, self.dim)
-            ids = np.asarray(self._ids[:, :per]).reshape(-1)
+            ids = np.asarray(self._ids).reshape(-1)
             keep = ids >= 0
+            flat = self._vecs.reshape(-1, self.dim)
+            if self.quantized:
+                from ..ops.quantize import dequantize
+
+                built = np.asarray(dequantize(
+                    flat, self._scales.reshape(-1)
+                ))
+            else:
+                built = np.asarray(flat.astype(jnp.float32))
             parts_v.append(built[keep])
             parts_i.append(ids[keep])
+            if self._spill is not None:
+                sp_vecs, _, sp_ids, _ = self._spill
+                s_ids = np.asarray(sp_ids).reshape(-1)
+                s_keep = s_ids >= 0
+                parts_v.append(np.asarray(
+                    sp_vecs.reshape(-1, self.dim).astype(jnp.float32)
+                )[s_keep])
+                parts_i.append(s_ids[s_keep])
         if len(self._stream_ids):
             parts_v.append(self._stream_vecs)
             parts_i.append(self._stream_ids)

@@ -101,6 +101,29 @@ def test_sharded_ivf_vectors_insertion_order(rng):
     )
 
 
+def test_sharded_ivf_int8_storage(rng):
+    """int8 sharded IVF (pruning + quantization compose across the mesh):
+    full probe hits the flat SQ8 recall bar; spill/pending tiers stay
+    full-precision so streamed rows are found exactly."""
+    mesh = make_mesh({"db": 4})
+    pts, _ = clustered_data(rng, n_clusters=8, per_cluster=48, spread=0.5)
+    idx = ShardedIVFIndex(16, mesh, nlist=8, nprobe=8, train_iters=8,
+                          dtype="int8")
+    idx.build(pts)
+    q = rng.standard_normal((16, 16)).astype(np.float32)
+    _, ref_ids = numpy_exact(q, pts, 10, "L2")
+    _, ids = idx.search(q, 10, nprobe=8)
+    assert _recall(ids, ref_ids) >= 0.95
+    extra = rng.standard_normal((5, 16)).astype(np.float32)
+    idx.add(extra)
+    _, hit = idx.search(extra[2], 1)
+    assert int(np.asarray(hit)[0, 0]) == len(pts) + 2
+    # insertion-order reconstruction (dequantized) stays close
+    np.testing.assert_allclose(
+        idx.vectors(), np.concatenate([pts, extra]), atol=0.05, rtol=0.1
+    )
+
+
 def test_sharded_ivf_reset_releases_buffers(rng):
     mesh = make_mesh({"db": 4})
     pts, _ = clustered_data(rng, n_clusters=4, per_cluster=32)
