@@ -31,16 +31,15 @@ RECALL_QUERIES = 1024
 
 DEFAULT_GRID = [
     # balance:nlist:dtype:nprobe:union_cap:qc
-    "reassign:4096:int8:16:128:32",
-    "reassign:4096:int8:16:128:64",
-    "reassign:4096:int8:16:256:64",
-    "reassign:4096:int8:32:256:64",
-    "reassign:4096:int8:8:64:16",
     "reassign:8192:int8:16:128:32",
     "reassign:8192:int8:16:256:64",
-    "reassign:8192:int8:32:256:64",
+    "reassign:8192:int8:32:256:32",
+    "reassign:8192:bfloat16:16:128:32",
+    "reassign:8192:bfloat16:16:256:64",
     "spill:8192:int8:16:128:32",
-    "reassign:4096:bfloat16:16:128:32",
+    "reassign:16384:int8:16:256:64",
+    "reassign:16384:bfloat16:16:128:32",
+    "reassign:4096:int8:16:128:32",
 ]
 
 

@@ -160,6 +160,7 @@ class IVFFlatIndex:
         balance: str = "spill",
         reassign_choices: int = 16,
         union_cap: Optional[int] = None,
+        balance_weight: float = 0.0,
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -224,6 +225,11 @@ class IVFFlatIndex:
         self.reassign_choices = int(reassign_choices)
         # fused-kernel union budget (None = ops/ivf_scan.default_union_cap)
         self.union_cap = union_cap
+        # capacity-balanced Lloyd weight (0 = classic k-means); the trained
+        # per-list bias shapes build-time assignment only, probing stays
+        # unbiased (ops/kmeans.train_kmeans rationale)
+        self.balance_weight = float(balance_weight)
+        self._assign_bias: Optional[jax.Array] = None
 
     # ------------------------------------------------------------- building
     @property
@@ -237,25 +243,31 @@ class IVFFlatIndex:
             logger.warning("reducing nlist %d -> %d (few train vectors)",
                            self.nlist, nlist)
             self.nlist = nlist
-        self.centroids, _ = train_kmeans(
+        self.centroids, _, bias = train_kmeans(
             vecs, self.nlist, n_iters=self.train_iters, seed=self.seed,
             spherical=(self.metric == "IP"),
+            balance_weight=self.balance_weight, return_bias=True,
         )
+        self._assign_bias = bias if self.balance_weight else None
         if self.nlist >= 64:
             # relabel lists spatially so the fused kernel's cell-sorted
             # query chunks share probe lists (ops/kmeans.spatial_order)
             from ..ops.kmeans import spatial_order
 
-            order = spatial_order(self.centroids, seed=self.seed)
-            self.centroids = self.centroids[jnp.asarray(order)]
+            order = jnp.asarray(spatial_order(self.centroids, seed=self.seed))
+            self.centroids = self.centroids[order]
+            if self._assign_bias is not None:
+                self._assign_bias = self._assign_bias[order]
         self.is_trained = True
 
     def _reassign_cap(self, mean_len: float) -> int:
-        """Capacity per list for balance='reassign': 1.5x the mean length
-        (rounded to 128) keeps total capacity ~1.5x N, so the greedy
+        """Capacity per list for balance='reassign': 2x the mean length
+        (rounded to 128) keeps total capacity ~2x N, so the greedy
         multi-choice assignment almost never exhausts its choices — a cap AT
-        the mean (zero headroom) strands ~40% of rows in the exact tier."""
-        return int(_round_up(max(128, int(mean_len * 1.5)), 128))
+        the mean (zero headroom) strands ~40% of rows in the exact tier,
+        and 1.5x still stranded dense regions at 1M x 4096 before the
+        donor-split training flattened the head of the distribution."""
+        return int(_round_up(max(128, int(mean_len * 2.0)), 128))
 
     def build(self, vectors: np.ndarray | jax.Array,
               row_ids: Optional[np.ndarray] = None) -> None:
@@ -278,7 +290,7 @@ class IVFFlatIndex:
 
             choices, cvals = assign_topk(
                 vecs_f32, self.centroids, self.reassign_choices,
-                metric=self.metric,
+                metric=self.metric, bias=self._assign_bias,
             )
             choices_np = np.asarray(choices)
             pref = np.asarray(cvals)
@@ -306,7 +318,8 @@ class IVFFlatIndex:
             # point-chunked assignment: a full (N, nlist) score matrix is
             # 16 GB at 1M x 4096
             assignments, _ = kmeans_assign(vecs_f32, self.centroids,
-                                           metric=self.metric)
+                                           metric=self.metric,
+                                           bias=self._assign_bias)
             assignments = assignments.astype(jnp.int32)
             lengths_np = np.asarray(
                 jnp.bincount(assignments, length=nlist)
@@ -649,6 +662,9 @@ class IVFFlatIndex:
             "centroids": np.asarray(self.centroids)
             if self.centroids is not None
             else np.zeros((0, self.dim), np.float32),
+            "assign_bias": np.asarray(self._assign_bias)
+            if self._assign_bias is not None
+            else np.zeros((0,), np.float32),
         }
         if self._n_built:
             live = self._live_mask()
@@ -750,6 +766,9 @@ class IVFFlatIndex:
         if centroids.size:
             idx.centroids = jnp.asarray(centroids)
             idx.is_trained = True
+        bias = np.asarray(state.get("assign_bias", np.zeros(0)))
+        if bias.size:
+            idx._assign_bias = jnp.asarray(bias, jnp.float32)
 
         fmt = str(item(state.get("format", "")))
         if fmt not in ("padded_v3", "sorted_v2"):

@@ -278,7 +278,15 @@ def fused_ivf_search_math(
             qf, qf_i8, qf_scale, s_codes, s_scales, s_sq, s_ids, metric
         )
         k_spill = min(k, sscores.shape[1])
-        sv, sp = lax.top_k(sscores, k_spill)
+        if sscores.shape[1] > 8192:
+            # exact top_k over a (Nq, S) score matrix dominates the whole
+            # search once the spill tier is large (measured: 28ms/batch at
+            # S=380k, ~4x the fused probe cost); PartialReduce selection at
+            # a high target keeps the tier's contribution near-exact
+            sv, sp = lax.approx_max_k(sscores, k_spill, recall_target=0.999)
+            sp = sp.astype(jnp.int32)
+        else:
+            sv, sp = lax.top_k(sscores, k_spill)
         si = s_ids[sp]
         best_v, best_i = merge_topk(
             best_v, best_i, sv, si,

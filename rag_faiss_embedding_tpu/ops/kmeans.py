@@ -29,17 +29,56 @@ from . import distance as dist_ops
 logger = get_logger(__name__)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _biased_topk_chunk(xc, cents, adj, metric: str, k: int):
+    """Top-k centroids by BIASED score: L2 uses 2x·c - (|c|^2 + bias) (same
+    argmax as -(d2 + bias)); IP uses x·c - bias. Returns (ids, biased
+    scores, higher better)."""
+    xf = xc.astype(jnp.float32)
+    dots = jnp.dot(
+        xf, cents.T.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    score = 2.0 * dots - adj[None, :] if metric == "L2" else dots - adj[None, :]
+    vals, idx = jax.lax.top_k(score, k)
+    return idx, vals
+
+
+def _biased_adj(centroids, bias, metric):
+    csq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
+    return (csq + bias) if metric == "L2" else bias
+
+
 def assign(
     x: jax.Array, centroids: jax.Array, point_chunk: int = 65536,
-    metric: str = "L2",
+    metric: str = "L2", bias: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Best centroid per row: (assignments, values).
 
     metric="L2" minimizes squared distance; "IP" maximizes the dot product
     (spherical k-means assignment — the coarse rule IP-IVF probes with).
+    ``bias`` (nlist,) adds a per-centroid penalty to the effective distance
+    (capacity-balanced assignment — see ``train_kmeans(balance_weight=)``).
     Chunks over the POINT axis: at 1M points x 4096 centroids the full score
     matrix is 16 GB — each chunk keeps it at (point_chunk, nlist)."""
     n = x.shape[0]
+    if bias is not None:
+        adj = _biased_adj(centroids, bias, metric)
+        idx_parts, val_parts = [], []
+        for start in range(0, n, point_chunk):
+            xc = x[start : start + point_chunk]
+            idx, vals = _biased_topk_chunk(xc, centroids, adj, metric, 1)
+            idx, vals = idx[:, 0], vals[:, 0]
+            # report UNBIASED values (L2 squared distance / IP dot), same
+            # semantics as the unbiased path — callers use them for
+            # objectives and reseed weights
+            if metric == "L2":
+                xsq = jnp.sum(xc.astype(jnp.float32) ** 2, axis=-1)
+                vals = jnp.maximum(xsq - vals - bias[idx], 0.0)
+            else:
+                vals = vals + bias[idx]
+            idx_parts.append(idx)
+            val_parts.append(vals)
+        return jnp.concatenate(idx_parts), jnp.concatenate(val_parts)
     if n <= point_chunk:
         vals, idx = dist_ops.exact_search(x, centroids, 1, metric=metric)
         return idx[:, 0], vals[:, 0]
@@ -55,14 +94,28 @@ def assign(
 
 def assign_topk(
     x: jax.Array, centroids: jax.Array, c: int, point_chunk: int = 65536,
-    metric: str = "L2",
+    metric: str = "L2", bias: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-c candidate centroids per row: (choices (N, c), values (N, c)).
 
     Used by the balanced IVF build (overflow rows fall back to their next
-    choice). Chunked over points like ``assign``."""
+    choice). Chunked over points like ``assign``; ``bias`` as there."""
     n = x.shape[0]
     c = min(c, centroids.shape[0])
+    if bias is not None:
+        adj = _biased_adj(centroids, bias, metric)
+        idx_parts, val_parts = [], []
+        for start in range(0, n, point_chunk):
+            xc = x[start : start + point_chunk]
+            idx, vals = _biased_topk_chunk(xc, centroids, adj, metric, c)
+            if metric == "L2":  # unbiased values, exact_search semantics
+                xsq = jnp.sum(xc.astype(jnp.float32) ** 2, axis=-1)
+                vals = jnp.maximum(xsq[:, None] - vals - bias[idx], 0.0)
+            else:
+                vals = vals + bias[idx]
+            idx_parts.append(idx)
+            val_parts.append(vals)
+        return jnp.concatenate(idx_parts), jnp.concatenate(val_parts)
     if n <= point_chunk:
         vals, idx = dist_ops.exact_search(x, centroids, c, metric=metric)
         return idx, vals
@@ -163,15 +216,28 @@ def train_kmeans(
     verbose: bool = False,
     init_sample: int = 64,
     spherical: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    balance_weight: float = 0.0,
+    return_bias: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Lloyd k-means with k-means++ init.
 
-    Returns (centroids (nlist, D) f32, assignments (N,)). k-means++ runs on a
+    Returns (centroids (nlist, D) f32, assignments (N,)) — plus the final
+    per-centroid bias when ``return_bias`` is set. k-means++ runs on a
     subsample of up to ``init_sample * nlist`` points to bound the seeding
     cost: the sequential ++ pass is O(nlist * sample * D) — at nlist=4096 /
     1M points / 384-d a 256x sample costs ~5 PFLOP (tens of seconds, most of
     the whole build); 64 points per centroid still seeds distinct clusters
     and Lloyd refines from there (recall stays gated in the bench).
+
+    ``balance_weight > 0`` runs CAPACITY-BALANCED Lloyd (auction-style):
+    each centroid carries a bias added to its effective squared distance,
+    integrated every iteration as
+    ``bias += balance_weight * mean_d2 * (count/target - 1)`` — overfull
+    lists price themselves up until boundary points move to neighbours.
+    This attacks IVF list skew globally (greedy capacity-capped
+    reassignment stranded 37% of rows at 1M x 4096 because whole dense
+    REGIONS were over capacity, not single lists). The bias only shapes the
+    PARTITION; query-time coarse probing stays unbiased.
 
     ``spherical=True`` is spherical k-means (FAISS ``Clustering`` with
     ``spherical`` set, used by IP-metric IVF): centroids are L2-normalized
@@ -194,46 +260,103 @@ def train_kmeans(
     if spherical:
         centroids = _normalize_rows(centroids)
 
+    bias = jnp.zeros((nlist,), jnp.float32) if balance_weight else None
+    target = n / nlist
     prev_obj = jnp.inf
-    reseed_cutoff = max(1, (2 * n_iters) // 3)
     for it in range(n_iters):
-        assignments, dists = assign(x, centroids, metric=metric)
+        assignments, dists = assign(x, centroids, metric=metric, bias=bias)
         obj = float(dists.mean()) * (-1.0 if spherical else 1.0)
         new_centroids, counts = _update_step(x, assignments, nlist)
-        # Re-seed starved clusters INTO high-error regions: sample reseed
-        # points with probability ∝ squared distance to the current nearest
-        # centroid (the k-means++ rule applied mid-Lloyd). This moves
-        # capacity toward dense under-served regions — the direct fix for
-        # the list skew that otherwise blows up the IVF probe window
-        # (measured: largest list 23x the mean at 1M x 4096 with naive
-        # biggest-donor reseeding). During the first 2/3 of iterations any
-        # cluster under mean/16 counts as starved; afterwards only truly
-        # empty clusters are reseeded so the final iterations converge.
-        tiny_thresh = (
-            max(1.0, n / nlist / 16.0) if it < reseed_cutoff else 0.5
-        )
-        tiny_np = np.asarray(counts < tiny_thresh)
-        n_tiny = int(tiny_np.sum())
-        if n_tiny:
-            if spherical:
-                # normalized data: IP score s -> squared distance 2 - 2s
-                weight = jnp.maximum(2.0 - 2.0 * dists, 1e-30)
-            else:
-                weight = jnp.maximum(dists, 1e-30)
+        # Rebalance by RELOCATION: clusters over 2x the target size donate
+        # splits — centroids of the smallest clusters are re-seeded at
+        # member points of the overfull ones (FAISS's split-largest policy,
+        # many-at-once). Boundary prices (bias) can only shift borders
+        # between EXISTING neighbours; wherever a dense region simply has
+        # too few centroids, capacity must physically move there, halving
+        # the mega-lists each iteration. This is the direct fix for the
+        # list skew that otherwise blows up the IVF probe window (measured:
+        # largest list 23x the mean at 1M x 4096; 37% of rows stranded in
+        # the spill tier). Empty clusters re-seed the same way (they are
+        # the first donors). The final two iterations skip relocation so
+        # the partition settles.
+        n_tiny = 0
+        counts_np = np.asarray(counts)
+        if it < max(1, n_iters - 2):
+            target = n / nlist
+            over = np.nonzero(counts_np > 2.0 * target)[0]
+            donors_all = np.argsort(counts_np, kind="stable")
+            donors = donors_all[
+                counts_np[donors_all] < 0.5 * target
+            ]
+            donors = donors[~np.isin(donors, over)]
+            if len(over) and len(donors):
+                over = over[np.argsort(-counts_np[over], kind="stable")]
+                need = np.minimum(
+                    (counts_np[over] / max(target, 1.0)).astype(np.int64), 8
+                )
+                a_np = np.asarray(assignments)
+                order_np = np.argsort(a_np, kind="stable")
+                a_sorted_np = a_np[order_np]
+                rs = np.random.RandomState((seed * 7919 + it) & 0x7FFFFFFF)
+                moves_d, moves_p = [], []
+                di = 0
+                for b, nd in zip(over, need):
+                    take = int(min(nd, len(donors) - di))
+                    if take <= 0:
+                        break
+                    lo, hi = np.searchsorted(a_sorted_np, [b, b + 1])
+                    picks = order_np[
+                        rs.choice(hi - lo, size=take, replace=False) + lo
+                    ]
+                    moves_d.extend(donors[di : di + take].tolist())
+                    moves_p.extend(picks.tolist())
+                    di += take
+                if moves_d:
+                    n_tiny = len(moves_d)
+                    new_centroids = new_centroids.at[
+                        jnp.asarray(moves_d)
+                    ].set(x[jnp.asarray(moves_p)].astype(jnp.float32))
+        # empty clusters (no donor role possible): k-means++-style reseed
+        empty_np = np.nonzero(counts_np < 0.5)[0]
+        if len(empty_np):
+            weight = (
+                jnp.maximum(2.0 - 2.0 * dists, 1e-30) if spherical
+                else jnp.maximum(dists, 1e-30)
+            )
             sub = jax.random.fold_in(key, 1000 + it)
             picks = jax.random.categorical(
-                sub, jnp.log(weight), shape=(n_tiny,)
+                sub, jnp.log(weight), shape=(len(empty_np),)
             )
-            new_centroids = new_centroids.at[
-                jnp.asarray(np.nonzero(tiny_np)[0])
-            ].set(x[picks].astype(jnp.float32))
+            new_centroids = new_centroids.at[jnp.asarray(empty_np)].set(
+                x[picks].astype(jnp.float32)
+            )
+            n_tiny += len(empty_np)
         if spherical:
             new_centroids = _normalize_rows(new_centroids)
         centroids = new_centroids
+        if bias is not None:
+            # leaky integral controller with a clipped step: overfull lists
+            # price themselves up in units of the current mean squared
+            # distance. The clip bounds a 10x-overfull list to the same
+            # step as a 2x one (unclipped steps empty it outright and the
+            # partition ping-pongs); the leak bleeds off stale price so the
+            # loop converges instead of winding up.
+            scale = abs(obj) if metric == "L2" else max(
+                2.0 - 2.0 * obj, 1e-6
+            )
+            step = jnp.clip(counts / target - 1.0, -1.0, 1.0)
+            bias = 0.9 * bias + (balance_weight * scale) * step
+            bias = bias - bias.min()  # pure shift; keeps prices >= 0
         if verbose:
             logger.info("kmeans iter %d: obj=%.5f tiny=%d", it, obj, n_tiny)
-        if n_tiny == 0 and abs(prev_obj - obj) < tol * max(abs(obj), 1e-12):
+        if bias is None and n_tiny == 0 and (
+            abs(prev_obj - obj) < tol * max(abs(obj), 1e-12)
+        ):
             break
         prev_obj = obj
-    assignments, _ = assign(x, centroids, metric=metric)
+    assignments, _ = assign(x, centroids, metric=metric, bias=bias)
+    if return_bias:
+        if bias is None:
+            bias = jnp.zeros((nlist,), jnp.float32)
+        return centroids, assignments, bias
     return centroids, assignments

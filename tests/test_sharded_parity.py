@@ -26,15 +26,21 @@ def _recall(ids, truth):
 
 def test_sharded_ivf_window_cap_spills_and_stays_exact(rng):
     """Skewed lists + forced low cap: full probe still matches brute force
-    (spilled rows are scanned exactly on their home device)."""
+    (spilled rows are scanned exactly on their home device). Centroids are
+    PINNED (training is skipped when they are preset) because the
+    donor-split balancing in train_kmeans now flattens this kind of skew —
+    the spill path needs a build whose lists genuinely overflow the cap."""
     mesh = make_mesh({"db": 4})
-    big = rng.standard_normal((600, 16)).astype(np.float32) * 0.05
-    rest = (rng.standard_normal((8, 16)).astype(np.float32) * 5
-            + 0.05 * rng.standard_normal((8, 40, 16)).astype(np.float32)
-            .transpose(1, 0, 2)).reshape(-1, 16).astype(np.float32)
+    import jax.numpy as jnp
+
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 5
+    big = rng.standard_normal((600, 16)).astype(np.float32) * 0.05 + centers[0]
+    rest = (centers[None] + 0.05 * rng.standard_normal((40, 8, 16))
+            ).reshape(-1, 16).astype(np.float32)
     pts = np.concatenate([big, rest])
     idx = ShardedIVFIndex(16, mesh, nlist=8, nprobe=8, train_iters=10)
     idx.window_quantile = 0.5
+    idx.centroids = jnp.asarray(centers)  # list 0 holds 640 rows -> spill
     idx.build(pts)
     assert idx._spill is not None, "expected spill"
     q = rng.standard_normal((6, 16)).astype(np.float32)
