@@ -310,21 +310,24 @@ def main() -> None:
             window = idx._window
             spill = idx._pending_dev() if idx._pending.ntotal else None
             fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
-                          idx._sorted_scales, idx._sorted_sq, idx._sorted_ids)
+                          idx._sorted_scales, idx._sorted_sq, idx._sorted_ids,
+                          idx._sorted_shadow)
 
             def make_ivf(nprobe, ucap, qc):
-                def many(qs, *args):  # qs: (REPS, Q_BATCH, DIM)
-                    if spill is not None:
-                        args, sp = args[:-4], args[-4:]
-                    else:
-                        sp = None
+                # big arrays ride as jit ARGS (closed-over constants blow the
+                # axon remote-compile body limit, HTTP 413)
+                def many(qs, cent, cent_sq, codes, scales, sq, ids, shadow,
+                         *sp):  # qs: (REPS, Q_BATCH, DIM)
+                    sp = sp if sp else None
 
                     def body(acc, q):
                         v, i = fused_ivf_search_math(
-                            q, *args, sp,
+                            q, cent, cent_sq, codes, scales, sq, ids, sp,
+                            shadow,
                             k=K, nprobe=nprobe, window=window, metric="L2",
                             recall_target=idx.recall_target,
                             union_cap=ucap, qc=qc,
+                            rerank_depth=idx.rerank_depth,
                         )
                         v = jnp.where(jnp.isfinite(v), v, 0.0)
                         return acc + v.sum() + i.sum().astype(jnp.float32), None

@@ -31,15 +31,13 @@ RECALL_QUERIES = 1024
 
 DEFAULT_GRID = [
     # balance:nlist:dtype:nprobe:union_cap:qc
-    "reassign:8192:int8:16:128:32",
     "reassign:8192:int8:16:256:64",
-    "reassign:8192:int8:32:256:32",
-    "reassign:8192:bfloat16:16:128:32",
+    "reassign:8192:int8:16:256:128",
+    "reassign:8192:int8:16:128:64",
+    "reassign:8192:int8:8:256:128",
+    "reassign:8192:int8:16:512:128",
     "reassign:8192:bfloat16:16:256:64",
-    "spill:8192:int8:16:128:32",
-    "reassign:16384:int8:16:256:64",
-    "reassign:16384:bfloat16:16:128:32",
-    "reassign:4096:int8:16:128:32",
+    "reassign:8192:bfloat16:16:256:128",
 ]
 
 
@@ -121,20 +119,18 @@ def main() -> None:
             spill = idx._pending_dev() if idx._pending.ntotal else None
             fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
                           idx._sorted_scales, idx._sorted_sq,
-                          idx._sorted_ids)
+                          idx._sorted_ids, idx._sorted_shadow)
 
-            def many(qs, *a):
-                if spill is not None:
-                    a, sp = a[:-4], a[-4:]
-                else:
-                    sp = None
+            def many(qs, cent, cent_sq, codes, scales, sq, ids, shadow, *sp):
+                sp = sp if sp else None
 
                 def body(acc, q):
                     v, i = fused_ivf_search_math(
-                        q, *a, sp,
+                        q, cent, cent_sq, codes, scales, sq, ids, sp, shadow,
                         k=K, nprobe=nprobe, window=window, metric="L2",
                         recall_target=idx.recall_target,
                         union_cap=ucap, qc=qc,
+                        rerank_depth=idx.rerank_depth,
                     )
                     v = jnp.where(jnp.isfinite(v), v, 0.0)
                     return acc + v.sum() + i.sum().astype(jnp.float32), None
