@@ -300,7 +300,10 @@ def main() -> None:
                 pick_query_chunk,
             )
 
-            idx = IVFFlatIndex(DIM, nlist=4096 if n_db >= 500_000 else 64,
+            # nlist ~ sqrt(N)*8: at 1M the 8192-list build keeps windows at
+            # 2x the 128-row mean with ZERO spill (donor-split training +
+            # 2x-capacity greedy reassignment; benchmarks/ivf_sweep.py)
+            idx = IVFFlatIndex(DIM, nlist=8192 if n_db >= 500_000 else 64,
                                dtype="int8", train_iters=10,
                                balance="reassign")
             t0 = time.perf_counter()

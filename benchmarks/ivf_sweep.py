@@ -31,13 +31,12 @@ RECALL_QUERIES = 1024
 
 DEFAULT_GRID = [
     # balance:nlist:dtype:nprobe:union_cap:qc
-    "reassign:8192:int8:16:256:64",
+    "reassign:8192:bfloat16:16:256:128",
+    "reassign:8192:bfloat16:24:256:128",
+    "reassign:8192:bfloat16:24:384:128",
+    "reassign:8192:bfloat16:32:256:64",
     "reassign:8192:int8:16:256:128",
     "reassign:8192:int8:16:128:64",
-    "reassign:8192:int8:8:256:128",
-    "reassign:8192:int8:16:512:128",
-    "reassign:8192:bfloat16:16:256:64",
-    "reassign:8192:bfloat16:16:256:128",
 ]
 
 

@@ -162,7 +162,7 @@ class IVFFlatIndex:
         union_cap: Optional[int] = None,
         balance_weight: float = 0.0,
         rerank: Optional[bool] = None,
-        rerank_depth: int = 32,
+        rerank_depth: int = 16,
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
