@@ -32,11 +32,11 @@ RECALL_QUERIES = 1024
 DEFAULT_GRID = [
     # balance:nlist:dtype:nprobe:union_cap:qc
     "reassign:8192:bfloat16:16:256:128",
-    "reassign:8192:bfloat16:24:256:128",
+    "reassign:8192:bfloat16:12:256:128",
+    "reassign:8192:bfloat16:16:128:64",
     "reassign:8192:bfloat16:24:384:128",
-    "reassign:8192:bfloat16:32:256:64",
     "reassign:8192:int8:16:256:128",
-    "reassign:8192:int8:16:128:64",
+    "reassign:8192:int8:12:256:128",
 ]
 
 
@@ -140,12 +140,21 @@ def main() -> None:
             many = jax.jit(many)
             call_args = fused_args + (spill if spill is not None else ())
             float(many(qstack, *call_args))  # compile + warm
-            t0 = time.perf_counter()
-            float(trivial(qstack))
-            rtt = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(many(qstack, *call_args))
-            per = max((time.perf_counter() - t0 - rtt) / REPS, 1e-9)
+            # tunnel RTT fluctuates by tens of ms — use the median of 3
+            # trivial dispatches and the fastest of 3 timed runs
+            rtts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(trivial(qstack))
+                rtts.append(time.perf_counter() - t0)
+            rtt = sorted(rtts)[1]
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(many(qstack, *call_args))
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            per = max((best - rtt) / REPS, 1e-9)
 
             idx.union_cap = ucap
             _, pred = idx.search(sub_q, K, nprobe=nprobe)

@@ -182,9 +182,12 @@ class IVFFlatIndex:
         # selection recall_target for the fused path's approx_max_k; int8
         # scores carry quantization error on top (same rationale as flat,
         # docs/PERF.md measured sweep)
+        # 0.995 for every storage dtype: probe-selection misses cost end
+        # recall directly and the widened-candidate exact trim makes the
+        # higher target nearly free (ops/ivf_scan._chunk_body)
         self.recall_target = float(
             recall_target if recall_target is not None
-            else (DEFAULT_INT8_RECALL_TARGET if self.quantized else 0.99)
+            else DEFAULT_INT8_RECALL_TARGET
         )
 
         self.is_trained = False

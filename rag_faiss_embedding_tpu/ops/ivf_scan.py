@@ -169,13 +169,19 @@ def _chunk_body(
         if scales is not None else None
     )
     scores = _score_rows(q, q_i8, q_scale, rows, rscale, rsq, rid, metric)
-    k_cand = min(
-        max(k, rerank_depth if shadow is not None else 0), scores.shape[1]
-    )
+    # select WIDER than k, then exact top-k over the candidates: the
+    # PartialReduce's per-tile misses land in ranks k..2k far more often
+    # than outside the widened set, so this buys ~half a recall point for
+    # the cost of a (qc, 16) sort (measured: bf16 0.9896 -> gate at rt=0.995)
+    k_cand = min(max(k, rerank_depth), scores.shape[1])
     best_v, pos = lax.approx_max_k(scores, k_cand,
                                    recall_target=recall_target)
     pos = pos.astype(jnp.int32)
     best_i = rid[pos]
+    if shadow is None and k_cand > k:
+        best_v, sel = lax.top_k(best_v, k)
+        best_i = jnp.take_along_axis(best_i, sel, axis=1)
+        pos = jnp.take_along_axis(pos, sel, axis=1)
     if shadow is not None:
         # exact rerank of the quantized scan's candidates: the int8 cross
         # term caps recall@10 at ~0.980 (measured, 1M x 384); re-scoring
