@@ -48,7 +48,7 @@ from ..core.logging import get_logger
 from ..ops import distance as dist_ops
 from ..ops.ivf_scan import fused_ivf_search
 from ..ops.kmeans import assign as kmeans_assign, train_kmeans
-from ..ops.quantize import DEFAULT_INT8_RECALL_TARGET, quantize_rows
+from ..ops.quantize import quantize_rows
 from .flat import FlatIndex, _round_up
 
 logger = get_logger(__name__)
@@ -182,12 +182,12 @@ class IVFFlatIndex:
         # selection recall_target for the fused path's approx_max_k; int8
         # scores carry quantization error on top (same rationale as flat,
         # docs/PERF.md measured sweep)
-        # 0.995 for every storage dtype: probe-selection misses cost end
-        # recall directly and the widened-candidate exact trim makes the
-        # higher target nearly free (ops/ivf_scan._chunk_body)
+        # rt 0.99 + the widened-candidate exact trim: widening to 16 then
+        # exact-trimming recovers the approx misses far cheaper than
+        # raising the PartialReduce target (0.995 cost ~2x QPS at the
+        # chunk+coarse selections combined; ops/ivf_scan._chunk_body)
         self.recall_target = float(
-            recall_target if recall_target is not None
-            else DEFAULT_INT8_RECALL_TARGET
+            recall_target if recall_target is not None else 0.99
         )
 
         self.is_trained = False
