@@ -130,6 +130,9 @@ def main() -> None:
                         recall_target=idx.recall_target,
                         union_cap=ucap, qc=qc,
                         rerank_depth=idx.rerank_depth,
+                        union_mode=(
+                            "chunkmax" if idx.nlist > 2048 else "minrank"
+                        ),
                     )
                     v = jnp.where(jnp.isfinite(v), v, 0.0)
                     return acc + v.sum() + i.sum().astype(jnp.float32), None

@@ -158,49 +158,63 @@ def main() -> None:
         ucap, qc, nprobe = args.union_cap, args.qc, args.nprobe
 
         def ivf_stage(stage):
-            def run_batch(q, cent, cent_sq, codes, scales, sq, ids):
+            # cumulative prefixes of the CURRENT kernel flow (batched
+            # unions, vmapped chunk super-batches, widen-trim selections)
+            def run_batch(q, cent, cent_sq, codes, scales, sq, ids, shadow):
                 qf = q.astype(jnp.float32)
                 cdots = jnp.dot(qf.astype(cent.dtype), cent.T,
                                 preferred_element_type=jnp.float32)
                 cscores = 2.0 * cdots - cent_sq[None, :]
-                _, probes = lax.top_k(cscores, nprobe)
+                cv, cp = lax.approx_max_k(cscores, nprobe + 8,
+                                          recall_target=0.99)
+                _, sel = lax.top_k(cv, nprobe)
+                probes = jnp.take_along_axis(
+                    cp.astype(jnp.int32), sel, axis=1
+                )
                 if stage == "coarse":
                     return probes.sum().astype(jnp.float32)
                 perm = jnp.argsort(probes[:, 0], stable=True)
                 qp, pp = qf[perm], probes[perm]
                 q_i8, q_scale = quantize_rows(qp)
-                if stage == "sort":
-                    return perm.sum().astype(jnp.float32)
-                qs = qp.reshape(-1, qc, DIM)
-                q8s = q_i8.reshape(-1, qc, DIM)
-                qss = q_scale.reshape(-1, qc)
-                ps = pp.reshape(-1, qc, nprobe)
+                steps = Q_BATCH // qc
+                u_all = jax.vmap(
+                    lambda p: _select_union(p, nlist, ucap)
+                )(pp.reshape(steps, qc, nprobe))
+                if stage == "union":
+                    return u_all.sum().astype(jnp.float32)
+                qs = qp.reshape(steps, qc, DIM)
+                q8s = q_i8.reshape(steps, qc, DIM)
+                qss = q_scale.reshape(steps, qc)
 
-                def step(acc, xs):
-                    qcf, qc8, qcs, pc = xs
-                    u = _select_union(pc, nlist, ucap)
-                    if stage == "union":
-                        return acc + u.sum().astype(jnp.float32), None
+                def chunk(qcf, qc8, qcs, u):
                     rows = codes.reshape(-1, window, DIM)[u].reshape(-1, DIM)
                     rid = ids.reshape(-1, window)[u].reshape(-1)
                     rsq = sq.reshape(-1, window)[u].reshape(-1)
                     rsc = scales.reshape(-1, window)[u].reshape(-1)
                     if stage == "gather":
-                        return acc + (
-                            rows.astype(jnp.int32).sum().astype(jnp.float32)
-                            + rsq.sum()
-                        ), None
+                        return (rows.astype(jnp.int32).sum().astype(
+                            jnp.float32
+                        ) + rsq.sum())
                     scores = _score_rows(qcf, qc8, qcs, rows, rsc, rsq,
                                          rid, "L2")
                     if stage == "matmul":
-                        return acc + scores.sum(), None
-                    bv, pos = lax.approx_max_k(scores, K, recall_target=0.995)
-                    bi = rid[pos.astype(jnp.int32)]
-                    return acc + bv.sum() + bi.sum().astype(jnp.float32), None
+                        return scores.sum()
+                    bv, pos = lax.approx_max_k(scores, 16,
+                                               recall_target=0.99)
+                    pos = pos.astype(jnp.int32)
+                    bi = rid[pos]
+                    if stage == "select":
+                        return bv.sum() + bi.sum().astype(jnp.float32)
+                    slot = u[pos // window] * window + pos % window
+                    srows = shadow[slot].astype(jnp.float32)
+                    dots = jnp.einsum("qd,qkd->qk", qcf, srows,
+                                      preferred_element_type=jnp.float32)
+                    sc = 2.0 * dots - rsq[pos]
+                    rv, rsel = lax.top_k(sc, K)
+                    ri = jnp.take_along_axis(bi, rsel, axis=1)
+                    return rv.sum() + ri.sum().astype(jnp.float32)
 
-                acc, _ = lax.scan(step, jnp.float32(0.0),
-                                  (qs, q8s, qss, ps))
-                return acc
+                return jax.vmap(chunk)(qs, q8s, qss, u_all).sum()
 
             def many(qstk, *a):
                 def body(acc, q):
@@ -210,8 +224,10 @@ def main() -> None:
             return many
 
         ivf_args = (qstack, idx._cent_store, idx._cent_sq, idx._sorted_vecs,
-                    idx._sorted_scales, idx._sorted_sq, idx._sorted_ids)
-        for stage in ("coarse", "sort", "union", "gather", "matmul", "full"):
+                    idx._sorted_scales, idx._sorted_sq, idx._sorted_ids,
+                    idx._sorted_shadow)
+        for stage in ("coarse", "union", "gather", "matmul", "select",
+                      "rerank"):
             timeit(f"ivf.{stage}", ivf_stage(stage), *ivf_args)
 
 

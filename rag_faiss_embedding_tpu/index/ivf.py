@@ -163,6 +163,7 @@ class IVFFlatIndex:
         balance_weight: float = 0.0,
         rerank: Optional[bool] = None,
         rerank_depth: int = 16,
+        union_mode: str = "auto",
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -241,6 +242,14 @@ class IVFFlatIndex:
         # costs 2 bytes/dim extra HBM — disable for memory-tight corpora)
         self.rerank = self.quantized if rerank is None else bool(rerank)
         self.rerank_depth = int(rerank_depth)
+        # "minrank": per-query probe sets compacted with per-query rank
+        #   guarantees (the semantically-safe default for small indexes);
+        # "chunkmax": chunk-aggregate list ranking (the large-nlist fast
+        #   path; ops/ivf_scan rationale). "auto" = chunkmax past 2048
+        #   lists.
+        if union_mode not in ("auto", "minrank", "chunkmax"):
+            raise ValueError(f"bad union_mode {union_mode!r}")
+        self.union_mode = union_mode
         self._sorted_shadow: Optional[jax.Array] = None
 
     # ------------------------------------------------------------- building
@@ -541,6 +550,10 @@ class IVFFlatIndex:
                 k=k, nprobe=nprobe, window=self._window, metric=self.metric,
                 recall_target=self.recall_target,
                 union_cap=self.union_cap, rerank_depth=self.rerank_depth,
+                union_mode=(
+                    "chunkmax" if self.union_mode == "auto"
+                    else self.union_mode
+                ),
             )
         return self._search_windowed(q, k, nprobe)
 

@@ -68,8 +68,9 @@ _RANK_INF = jnp.int32(1 << 30)
 def default_union_cap(nlist: int, nprobe: int) -> int:
     """Union slots per chunk: enough that small indexes never truncate
     (cap >= nlist) and large ones keep every query's top lists plus deep
-    shared coverage (8x nprobe; benchmarks/ivf_sweep.py)."""
-    return min(nlist, max(64, 8 * nprobe))
+    shared coverage (16x nprobe with chunks of half the cap measured best
+    at 1M x 384 / nlist 8192; benchmarks/ivf_sweep.py)."""
+    return min(nlist, max(64, 16 * nprobe))
 
 
 def pick_query_chunk(
@@ -81,15 +82,16 @@ def pick_query_chunk(
     union_cap: Optional[int] = None,
     nlist: Optional[int] = None,
 ) -> int:
-    """Query chunk size: ~union_cap/4 so each chunk's shared union budget
-    comfortably exceeds its queries' distinct top-1 cells (a chunk BIGGER
-    than its union starves every query of even its best list), shrunk
-    further if the per-step intermediates (gathered rows + the
-    (qc, U*window) score matrix) bust the HBM budget."""
+    """Query chunk size: ~union_cap/2 so each chunk's shared union budget
+    exceeds its queries' distinct top-1 cells (a chunk BIGGER than its
+    union starves every query of even its best list; bigger chunks
+    amortize the block gather over more queries — the measured optimum is
+    half the cap), shrunk further if the per-step intermediates (gathered
+    rows + the (qc, U*window) score matrix) bust the HBM budget."""
     if union_cap is None:
         union_cap = default_union_cap(nlist or (1 << 30), nprobe)
     rows = union_cap * window
-    qc = max(16, min(128, union_cap // 4))
+    qc = max(16, min(128, union_cap // 2))
     while qc > 8:
         step_bytes = rows * dim * code_bytes + qc * rows * 4
         if step_bytes <= _STEP_BYTES_BUDGET:
@@ -218,6 +220,7 @@ def fused_ivf_search_math(
     union_cap: int,
     qc: int,
     rerank_depth: int = 16,
+    union_mode: str = "minrank",
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-batch fused search; one dispatch. Returns (values, ids) on the
     FINAL scale (L2: squared distance ascending; IP: score descending).
@@ -231,11 +234,9 @@ def fused_ivf_search_math(
     quantized = scales is not None
     qf = q.astype(jnp.float32)
     q_sq = jnp.sum(qf * qf, axis=-1)
+    chunkmax = union_mode == "chunkmax" and nlist > _COARSE_APPROX_MIN_NLIST
 
-    # 1. coarse top-nprobe for the whole batch (one MXU matmul). Selection
-    # over thousands of lists uses PartialReduce — exact top_k over
-    # (Nq, nlist) is a measurable slice of the whole search, and the union
-    # only needs approximately-ranked probes.
+    # 1. coarse scores for the whole batch (one MXU matmul)
     qcast = qf.astype(centroids.dtype)
     cdots = jnp.dot(
         qcast, centroids.T,
@@ -243,43 +244,74 @@ def fused_ivf_search_math(
         precision=_matmul_precision(qcast),
     )
     cscores = 2.0 * cdots - cent_sq[None, :] if metric == "L2" else cdots
-    if nlist > _COARSE_APPROX_MIN_NLIST:
-        # widen-then-trim: probe misses cost end recall directly (measured
-        # -0.3pt@10 at plain rt=0.99) but raising rt to 0.999 is a
-        # throughput cliff (PartialReduce degenerates toward a full sort).
-        # Selecting nprobe+8 at rt=0.99 and exact-trimming to nprobe gets
-        # exact-quality probes at the cheap target's cost.
-        cand = min(nlist, nprobe + 8)
-        cv, cp = lax.approx_max_k(cscores, cand, recall_target=0.99)
-        _, sel = lax.top_k(cv, nprobe)
-        probes = jnp.take_along_axis(cp.astype(jnp.int32), sel, axis=1)
-    else:
-        _, probes = lax.top_k(cscores, nprobe)   # (Nq, nprobe)
 
-    # 2. cell-sort the queries; pad with replicas of the last sorted query
-    # (their probes are duplicates — they cost no union slots)
-    perm = jnp.argsort(probes[:, 0], stable=True)
-    qp = qf[perm]
-    pp = probes[perm]
-    pad = (-nq) % qc
-    if pad:
-        qp = jnp.concatenate([qp, jnp.broadcast_to(qp[-1:], (pad, d))])
-        pp = jnp.concatenate(
-            [pp, jnp.broadcast_to(pp[-1:], (pad, nprobe))]
-        )
+    if chunkmax:
+        # CHUNK-AGGREGATE union (the large-nlist fast path): per-query
+        # top-k over (Nq, nlist) plus the min-rank compaction cost ~1ms of
+        # a ~3ms batch. Instead: normalize each query's scores to its own
+        # best (cross-query comparable), sort queries by their argmax cell,
+        # then rank lists per CHUNK by the max normalized score any member
+        # query gives — ONE exact top-union_cap per chunk (steps x nlist,
+        # a handful of rows). A query's own best lists score near 0 by
+        # construction, so they survive chunk ranking; outlier queries are
+        # protected by the max (a mean would dilute them).
+        rel = cscores - jnp.max(cscores, axis=1, keepdims=True)
+        top1 = jnp.argmax(cscores, axis=1)
+        perm = jnp.argsort(top1, stable=True)
+        qp = qf[perm]
+        rel_p = rel[perm]
+        pad = (-nq) % qc
+        if pad:
+            qp = jnp.concatenate([qp, jnp.broadcast_to(qp[-1:], (pad, d))])
+            rel_p = jnp.concatenate(
+                [rel_p, jnp.broadcast_to(rel_p[-1:], (pad, nlist))]
+            )
+        steps = qp.shape[0] // qc
+        chunk_rel = jnp.max(
+            rel_p.reshape(steps, qc, nlist), axis=1
+        )                                         # (steps, nlist)
+        take = min(union_cap, nlist)
+        _, u_all = lax.top_k(chunk_rel, take)
+        u_all = jnp.sort(u_all.astype(jnp.int32), axis=1)
+    else:
+        if nlist > _COARSE_APPROX_MIN_NLIST:
+            # widen-then-trim: probe misses cost end recall directly
+            # (measured -0.3pt@10 at plain rt=0.99) but raising rt to
+            # 0.999 is a throughput cliff (PartialReduce degenerates
+            # toward a full sort). Selecting nprobe+8 at rt=0.99 and
+            # exact-trimming to nprobe gets exact-quality probes at the
+            # cheap target's cost.
+            cand = min(nlist, nprobe + 8)
+            cv, cp = lax.approx_max_k(cscores, cand, recall_target=0.99)
+            _, sel = lax.top_k(cv, nprobe)
+            probes = jnp.take_along_axis(cp.astype(jnp.int32), sel, axis=1)
+        else:
+            _, probes = lax.top_k(cscores, nprobe)   # (Nq, nprobe)
+
+        # 2. cell-sort the queries; pad with replicas of the last sorted
+        # query (their probes are duplicates — they cost no union slots)
+        perm = jnp.argsort(probes[:, 0], stable=True)
+        qp = qf[perm]
+        pp = probes[perm]
+        pad = (-nq) % qc
+        if pad:
+            qp = jnp.concatenate([qp, jnp.broadcast_to(qp[-1:], (pad, d))])
+            pp = jnp.concatenate(
+                [pp, jnp.broadcast_to(pp[-1:], (pad, nprobe))]
+            )
+        steps = qp.shape[0] // qc
+        # 3. ALL chunk unions in one batched pass: the per-chunk lexsort
+        # chain inside a sequential scan was HALF the search time (measured
+        # 3.1ms of 6.2ms per 1024-query batch) — batched, the sorts fuse
+        # into a few (steps, qc*nprobe) kernels
+        u_all = jax.vmap(
+            lambda p: _select_union(p, nlist, union_cap)
+        )(pp.reshape(steps, qc, nprobe))             # (steps, U)
+
     if quantized:
         qp_i8, qp_scale = quantize_rows(qp)
     else:
         qp_i8 = qp_scale = None
-
-    steps = qp.shape[0] // qc
-    # 3. ALL chunk unions in one batched pass: the per-chunk lexsort chain
-    # inside a sequential scan was HALF the search time (measured 3.1ms of
-    # 6.2ms per 1024-query batch) — batched, the sorts fuse into a few
-    # (steps, qc*nprobe) kernels
-    u_all = jax.vmap(
-        lambda p: _select_union(p, nlist, union_cap)
-    )(pp.reshape(steps, qc, nprobe))             # (steps, U)
 
     body = functools.partial(
         _chunk_body,
@@ -393,7 +425,7 @@ _fused_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "nprobe", "window", "metric", "recall_target", "union_cap",
-        "qc", "rerank_depth",
+        "qc", "rerank_depth", "union_mode",
     ),
 )(fused_ivf_search_math)
 
@@ -417,6 +449,7 @@ def fused_ivf_search(
     union_cap: Optional[int] = None,
     qc: Optional[int] = None,
     rerank_depth: int = 16,
+    union_mode: str = "minrank",
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched fused IVF search over a block-padded index.
 
@@ -437,5 +470,5 @@ def fused_ivf_search(
         sorted_sq, sorted_ids, spill, shadow,
         k=k, nprobe=nprobe, window=window, metric=metric,
         recall_target=recall_target, union_cap=union_cap, qc=qc,
-        rerank_depth=rerank_depth,
+        rerank_depth=rerank_depth, union_mode=union_mode,
     )
