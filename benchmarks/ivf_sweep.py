@@ -160,6 +160,7 @@ def main() -> None:
             per = max((best - rtt) / REPS, 1e-9)
 
             idx.union_cap = ucap
+            idx.query_chunk = qc  # recall at the TIMED config, not defaults
             _, pred = idx.search(sub_q, K, nprobe=nprobe)
             pred = np.asarray(pred)
             hits = sum(len(set(p.tolist()) & set(t.tolist()))

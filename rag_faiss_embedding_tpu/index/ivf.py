@@ -229,6 +229,7 @@ class IVFFlatIndex:
         #   chunk unions largely recover this).
         self.balance = balance
         self.reassign_choices = int(reassign_choices)
+        self.cap_factor = 2.0  # see _reassign_cap
         # fused-kernel union budget (None = ops/ivf_scan.default_union_cap)
         self.union_cap = union_cap
         # capacity-balanced Lloyd weight (0 = classic k-means); the trained
@@ -250,6 +251,8 @@ class IVFFlatIndex:
         if union_mode not in ("auto", "minrank", "chunkmax"):
             raise ValueError(f"bad union_mode {union_mode!r}")
         self.union_mode = union_mode
+        # query chunk override (None = ops/ivf_scan.pick_query_chunk)
+        self.query_chunk: Optional[int] = None
         self._sorted_shadow: Optional[jax.Array] = None
 
     # ------------------------------------------------------------- building
@@ -282,13 +285,15 @@ class IVFFlatIndex:
         self.is_trained = True
 
     def _reassign_cap(self, mean_len: float) -> int:
-        """Capacity per list for balance='reassign': 2x the mean length
-        (rounded to 128) keeps total capacity ~2x N, so the greedy
-        multi-choice assignment almost never exhausts its choices — a cap AT
-        the mean (zero headroom) strands ~40% of rows in the exact tier,
-        and 1.5x still stranded dense regions at 1M x 4096 before the
-        donor-split training flattened the head of the distribution."""
-        return int(_round_up(max(128, int(mean_len * 2.0)), 128))
+        """Capacity per list for balance='reassign': ``cap_factor`` x the
+        mean length (rounded to 128). 2x keeps total capacity ~2x N, so the
+        greedy multi-choice assignment almost never exhausts its choices —
+        a cap AT the mean (zero headroom) strands ~40% of rows in the exact
+        tier, and 1.5x still stranded dense regions at 1M x 4096 before
+        the donor-split training flattened the head of the distribution.
+        Smaller factors shrink the probe window (gather bytes per list) at
+        the cost of spill."""
+        return int(_round_up(max(128, int(mean_len * self.cap_factor)), 128))
 
     def build(self, vectors: np.ndarray | jax.Array,
               row_ids: Optional[np.ndarray] = None) -> None:
@@ -550,6 +555,7 @@ class IVFFlatIndex:
                 k=k, nprobe=nprobe, window=self._window, metric=self.metric,
                 recall_target=self.recall_target,
                 union_cap=self.union_cap, rerank_depth=self.rerank_depth,
+                qc=self.query_chunk,
                 union_mode=(
                     "chunkmax" if self.union_mode == "auto"
                     else self.union_mode

@@ -151,6 +151,28 @@ def test_fused_duplicate_probes_no_duplicate_results(rng):
     assert (ids[:, 0] == 3).all()
 
 
+def test_union_mode_chunkmax_near_minrank(rng, monkeypatch):
+    """Chunk-aggregate union (the large-nlist fast path, forced on here by
+    lowering the activation threshold) keeps recall within a point of the
+    per-query min-rank mode on clustered data."""
+    from rag_faiss_embedding_tpu.ops import ivf_scan
+
+    monkeypatch.setattr(ivf_scan, "_COARSE_APPROX_MIN_NLIST", 8)
+    pts, _ = clustered_data(rng, n_clusters=32, per_cluster=64, spread=0.4)
+    q = (pts[::11] + 0.1 * rng.standard_normal(
+        (len(pts[::11]), pts.shape[1])
+    )).astype(np.float32)
+    _, truth = numpy_exact(q, pts, 10, "L2")
+    recalls = {}
+    for mode in ("minrank", "chunkmax"):
+        idx = IVFFlatIndex(16, nlist=32, train_iters=10, union_mode=mode)
+        idx.build(pts)
+        _, ids = idx.search(q, 10, nprobe=8)
+        recalls[mode] = _recall(ids, truth)
+    assert recalls["chunkmax"] >= recalls["minrank"] - 0.01
+    assert recalls["chunkmax"] >= 0.9
+
+
 def test_ivf_int8_state_roundtrip(rng, tmp_path):
     from rag_faiss_embedding_tpu.index import VectorStore
 
