@@ -260,14 +260,16 @@ def main() -> None:
             print(f"# recall check for {variant} failed: {e}")
             recalls[variant] = 0.0
 
-    # CI-style guard: the shipped FlatIndex CLASS with its library defaults
-    # (dtype=int8, selector=approx) must itself meet the 0.99 gate — catches
-    # any future bench/library divergence (round-1 weak spot).
+    # CI-style guard: the shipped FlatIndex CLASS in its gated int8 config
+    # (selector="rerank" — plain int8+approx is honestly 0.980 at 1024
+    # queries on mixture data; round 1's 0.9906 was a 64-query
+    # overestimate) must itself meet the 0.99 gate — catches any future
+    # bench/library divergence.
     library_class_recall = None
     try:
         from rag_faiss_embedding_tpu.index import FlatIndex
 
-        fidx = FlatIndex(DIM, dtype="int8", selector="approx",
+        fidx = FlatIndex(DIM, dtype="int8", selector="rerank",
                          capacity=n_db)
         fidx.add(db_c32.reshape(n_db, DIM))
         _, pred = fidx.search(sub_q, K, chunk_size=CHUNK)
@@ -276,7 +278,7 @@ def main() -> None:
                    for p, t in zip(pred, truth))
         library_class_recall = hits / truth.size
         if library_class_recall < 0.99:
-            print(f"# WARNING: FlatIndex int8+approx defaults below gate: "
+            print(f"# WARNING: FlatIndex int8+rerank below gate: "
                   f"{library_class_recall:.4f}")
         del fidx
     except Exception as e:
@@ -302,9 +304,12 @@ def main() -> None:
 
             # nlist ~ sqrt(N)*8: at 1M the 8192-list build keeps windows at
             # 2x the 128-row mean with ZERO spill (donor-split training +
-            # 2x-capacity greedy reassignment; benchmarks/ivf_sweep.py)
+            # 2x-capacity greedy reassignment). bf16 storage wins the gated
+            # sweep: int8's quantized cross term needs the shadow rerank to
+            # pass 0.99, and that row gather costs more than bf16's extra
+            # byte/dim of block-gather bandwidth (benchmarks/ivf_sweep.py).
             idx = IVFFlatIndex(DIM, nlist=8192 if n_db >= 500_000 else 64,
-                               dtype="int8", train_iters=10,
+                               dtype="bfloat16", train_iters=10,
                                balance="reassign")
             t0 = time.perf_counter()
             idx.build(db_c32.reshape(n_db, DIM))
@@ -344,10 +349,11 @@ def main() -> None:
 
             sweep = {}
             best = None
-            for nprobe in (8, 16, 32):
+            for nprobe in (16, 24):
                 ucap = default_union_cap(idx.nlist, nprobe)
-                qc = pick_query_chunk(nprobe, window, DIM, 1, Q_BATCH,
-                                      union_cap=ucap)
+                qc = pick_query_chunk(nprobe, window, DIM,
+                                      jnp.dtype(idx.dtype).itemsize,
+                                      Q_BATCH, union_cap=ucap)
                 # recall through the shipped CLASS path (identical kernel)
                 _, pred = idx.search(qstack32[0][:RECALL_QUERIES], K,
                                      nprobe=nprobe)

@@ -150,8 +150,12 @@ def _exact_search_impl(
         best_v, best_i = carry
         chunk, chunk_sq, start = inp
         scores = _chunk_scores(q, chunk, chunk_sq, metric)
-        gidx = start + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(gidx < n_valid, scores, NEG_INF)
+        # 1-D column iota: a full (Q, chunk) int32 gidx feeding both the
+        # mask and the index take materializes multi-GB intermediates per
+        # chunk (measured 3x the whole scan); chunk-local positions turn
+        # into global ids AFTER selection as start + cp
+        col = lax.iota(jnp.int32, scores.shape[1])
+        scores = jnp.where(col[None, :] < n_valid - start, scores, NEG_INF)
         kc = min(k_eff, chunk_size)  # a chunk can contribute at most its rows
         if selector == "approx":
             # XLA's TPU PartialReduce ANN selection (the ScaNN-style
@@ -160,7 +164,7 @@ def _exact_search_impl(
             cp = cp.astype(jnp.int32)
         else:
             cv, cp = lax.top_k(scores, kc)
-        ci = jnp.take_along_axis(gidx, cp, axis=-1)
+        ci = start + cp
         return merge_topk(best_v, best_i, cv, ci, k_eff), None
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size

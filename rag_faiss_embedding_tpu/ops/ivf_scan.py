@@ -82,16 +82,17 @@ def pick_query_chunk(
     union_cap: Optional[int] = None,
     nlist: Optional[int] = None,
 ) -> int:
-    """Query chunk size: ~union_cap/2 so each chunk's shared union budget
-    exceeds its queries' distinct top-1 cells (a chunk BIGGER than its
-    union starves every query of even its best list; bigger chunks
-    amortize the block gather over more queries — the measured optimum is
-    half the cap), shrunk further if the per-step intermediates (gathered
-    rows + the (qc, U*window) score matrix) bust the HBM budget."""
+    """Query chunk size: equal to the union budget (capped at 256) —
+    bigger chunks amortize the block gather over more queries, and at 1M x
+    384 / nlist 8192 recall holds up to qc == union_cap == 256 and
+    collapses just past it (a chunk bigger than its union starves queries
+    of their best lists; measured 0.9902 at 256/256 vs 0.52 at 512-query
+    chunks). Shrunk further if the per-step intermediates (gathered rows +
+    the (qc, U*window) score matrix) bust the HBM budget."""
     if union_cap is None:
         union_cap = default_union_cap(nlist or (1 << 30), nprobe)
     rows = union_cap * window
-    qc = max(16, min(128, union_cap // 2))
+    qc = max(16, min(256, union_cap))
     while qc > 8:
         step_bytes = rows * dim * code_bytes + qc * rows * 4
         if step_bytes <= _STEP_BYTES_BUDGET:

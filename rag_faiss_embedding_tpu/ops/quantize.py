@@ -42,10 +42,13 @@ def dequantize(q: jax.Array, scales: jax.Array) -> jax.Array:
     return q.astype(jnp.float32) * scales[:, None]
 
 
-# int8 scores carry quantization error on top of the approx selection's own
-# misses; 0.995 buys the 0.99 recall gate back for ~6% QPS (measured sweep,
-# docs/PERF.md: rt=0.99 -> recall 0.9891 BELOW gate; 0.995 -> 0.9906;
-# 0.999 falls off a throughput cliff).
+# int8 scores carry quantization error on top of the approx selection's
+# own misses. 0.995 is the best approx operating point (0.999 falls off a
+# throughput cliff), but measured honestly at 1024 queries int8+approx
+# still sits at ~0.980 recall@10 on mixture data — the quantized cross
+# term, not selection, is the binding loss. Use selector="rerank" (exact
+# bf16 re-scoring of the approx candidates) when the 0.99 gate matters;
+# docs/PERF.md.
 DEFAULT_INT8_RECALL_TARGET = 0.995
 
 
@@ -98,15 +101,19 @@ def int8_search(
             scores = 2.0 * dots - sqs[None, :]
         else:
             scores = dots
-        gidx = start + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(gidx < n_valid, scores, NEG_INF)
+        # 1-D column iota: a full (Q, chunk) int32 gidx feeding both the
+        # mask and the index take materializes multi-GB intermediates per
+        # chunk (measured 3x the whole scan); chunk-local positions turn
+        # into global ids AFTER selection as start + cp
+        col = lax.iota(jnp.int32, scores.shape[1])
+        scores = jnp.where(col[None, :] < n_valid - start, scores, NEG_INF)
         kc = min(k_eff, chunk_size)
         if selector == "approx":
             cv, cp = lax.approx_max_k(scores, kc, recall_target=recall_target)
             cp = cp.astype(jnp.int32)
         else:
             cv, cp = lax.top_k(scores, kc)
-        ci = jnp.take_along_axis(gidx, cp, axis=-1)
+        ci = start + cp
         return merge_topk(best_v, best_i, cv, ci, k_eff), None
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
@@ -182,8 +189,12 @@ def int8_rerank_search(
         dots_i32 = jnp.dot(q_i8, chunk.T, preferred_element_type=jnp.int32)
         dots = dots_i32.astype(jnp.float32) * q_scale[:, None] * scales[None, :]
         scores = 2.0 * dots - sqs[None, :] if metric == "L2" else dots
-        gidx = start + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(gidx < n_valid, scores, NEG_INF)
+        # 1-D column iota: a full (Q, chunk) int32 gidx feeding both the
+        # mask and the index take materializes multi-GB intermediates per
+        # chunk (measured 3x the whole scan); chunk-local positions turn
+        # into global ids AFTER selection as start + cp
+        col = lax.iota(jnp.int32, scores.shape[1])
+        scores = jnp.where(col[None, :] < n_valid - start, scores, NEG_INF)
         _, cp = lax.approx_max_k(scores, kc, recall_target=recall_target)
         return None, cp.astype(jnp.int32) + start
 
