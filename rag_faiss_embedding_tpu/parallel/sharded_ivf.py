@@ -86,6 +86,7 @@ def _build_sharded_fused(
     mesh: Mesh, k: int, window: int, db_axis: str,
     nprobe: int, union_cap: int, qc: int, recall_target: float,
     quantized: bool, has_spill: bool, has_pending: bool,
+    union_mode: str = "minrank",
 ):
     n_tiers = has_spill + has_pending
 
@@ -95,6 +96,7 @@ def _build_sharded_fused(
             sq[0], ids[0], None,
             k=k, nprobe=nprobe, window=window, metric="L2",
             recall_target=recall_target, union_cap=union_cap, qc=qc,
+            union_mode=union_mode,
         )
         parts = [(vals, gids)]
         rest = list(tiers)
@@ -426,6 +428,7 @@ class ShardedIVFIndex:
             nprobe, union_cap, qc, self.recall_target,
             self.quantized, self._spill is not None,
             self._pending_dev is not None,
+            union_mode="chunkmax" if self.nlist > 2048 else "minrank",
         )
         scales = (
             self._scales if self.quantized
