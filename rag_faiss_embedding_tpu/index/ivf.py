@@ -230,6 +230,7 @@ class IVFFlatIndex:
         self.balance = balance
         self.reassign_choices = int(reassign_choices)
         self.cap_factor = 2.0  # see _reassign_cap
+        self.train_sample_per_list = 64  # FAISS max_points_per_centroid
         # fused-kernel union budget (None = ops/ivf_scan.default_union_cap)
         self.union_cap = union_cap
         # capacity-balanced Lloyd weight (0 = classic k-means); the trained
@@ -267,9 +268,22 @@ class IVFFlatIndex:
             logger.warning("reducing nlist %d -> %d (few train vectors)",
                            self.nlist, nlist)
             self.nlist = nlist
+        # FAISS-style training subsample (max_points_per_centroid): Lloyd
+        # assignment passes are O(n_train * nlist * D) and dominate the
+        # build; 64 points per centroid is plenty to place centroids, the
+        # full corpus is re-assigned once at build time
+        max_train = self.train_sample_per_list * self.nlist
+        if vecs.shape[0] > max_train:
+            key = jax.random.PRNGKey(self.seed ^ 0x5EED)
+            sel = jax.random.permutation(key, vecs.shape[0])[:max_train]
+            train_vecs = vecs[sel]
+            logger.debug("k-means training subsample: %d of %d rows",
+                         max_train, vecs.shape[0])
+        else:
+            train_vecs = vecs
         self.centroids, _, bias = train_kmeans(
-            vecs, self.nlist, n_iters=self.train_iters, seed=self.seed,
-            spherical=(self.metric == "IP"),
+            train_vecs, self.nlist, n_iters=self.train_iters,
+            seed=self.seed, spherical=(self.metric == "IP"),
             balance_weight=self.balance_weight, return_bias=True,
         )
         self._assign_bias = bias if self.balance_weight else None
