@@ -15,30 +15,46 @@ vs 394k for the flat int8 scan it is supposed to beat. A naive chunked
 query is scored against qc x more rows than it probed — at qc=64 that is
 effectively a full scan again (measured 30k QPS).
 
-The v2 design makes the chunk-shared work SMALL, not just shared:
+The design makes the chunk-shared work SMALL, not just shared:
 
-1. coarse: ONE (Nq, nlist) matmul + ``lax.top_k`` for the whole batch;
-2. sort queries by their top-1 cell (one argsort) — neighbouring queries
-   in the processing order then probe nearly the same lists, so a chunk's
-   probe-set union is close to nprobe lists, not qc*nprobe;
-3. per chunk of ``qc`` queries: COMPACT the union to a fixed budget of
-   ``union_cap`` list slots, ranked by min probe rank (a list that is ANY
-   chunk query's rank-r probe outranks one first probed at rank r+1, so
-   every query's top-``union_cap/qc`` lists are guaranteed in; with the
-   cell sort the effective coverage is far deeper). Duplicates and unused
-   slots point at a sentinel zero-length list;
-4. gather the ``union_cap`` fixed-size list blocks — with the index's
+1. coarse: ONE (Nq, nlist) MXU matmul for the whole batch;
+2. sort queries so processing-order neighbours probe nearly the same
+   lists (by top-1 cell id; index/ivf.py relabels lists spatially so
+   id-adjacency implies spatial adjacency — without that, chunk unions
+   shared almost nothing and recall collapsed to ~0.4 at 1M);
+3. per chunk of ``qc`` queries, pick a UNION of ``union_cap`` list
+   blocks. Two modes:
+   - ``minrank`` (small-index default): each query's top-nprobe probes
+     are compacted by min probe rank — a list probed at rank r by ANY
+     chunk query outranks one first probed at r+1, so every query's
+     rank-0 list is guaranteed in. Duplicates/unused slots point at a
+     sentinel zero-length block;
+   - ``chunkmax`` (the large-nlist fast path): normalize each query's
+     coarse scores to its own best, rank lists per chunk by the max
+     normalized score any member query gives, ONE exact top-union_cap
+     per chunk — replacing per-query top-k over (Nq, nlist) AND the
+     compaction sort chain (together ~1/3 of the batch);
+4. gather the union's fixed-size list blocks — with the index's
    block-padded layout (every list owns exactly ``window`` slots) this is
    a contiguous (U, window, D) block gather, not a row gather — and score
-   with ONE (qc, D) x (D, U*window) MXU matmul (int8 codes run with int32
-   accumulation at 2x bf16 throughput). Distances are exact; selection is
-   ``lax.approx_max_k`` (XLA's TPU PartialReduce);
+   with ONE (qc, D) x (D, U*window) MXU matmul per chunk (int8 codes run
+   with int32 accumulation at 2x bf16 throughput). Distances are exact;
+   selection widens ``lax.approx_max_k`` (XLA's TPU PartialReduce) to
+   max(k, 16) candidates and exact-trims — cheaper than raising the
+   reduce's recall_target. int8 storage optionally re-scores its
+   candidates against a bf16 shadow copy (the quantized cross term caps
+   recall@10 at ~0.980 otherwise);
 5. the spill tier (rows past the window cap + streaming adds) is scored
-   once for the WHOLE batch with a single MXU matmul and merged exactly.
+   once for the WHOLE batch with a single MXU matmul and merged exactly
+   (approximate selection past 8k spill rows — an exact top_k over a
+   (Nq, 380k) score matrix cost 4x the whole fused probe);
+6. chunks execute as a ``lax.scan`` of VMAPPED super-batches sized to an
+   HBM budget, so the compiler overlaps block gathers with MXU work.
 
-Everything — coarse scan, query sort, union compaction, gathers, matmuls,
-selection, merge — runs in one jitted program; query chunks advance via
-``lax.scan``, so per-dispatch overhead is paid once per BATCH.
+Everything — coarse scan, query sort, union selection, gathers, matmuls,
+selection, rerank, merge — runs in one jitted program per batch.
+Measured trajectory at 1M x 384 (docs/PERF.md): 12.8k QPS (round-1
+per-query path) -> 707k QPS @ recall@10 0.9907.
 """
 
 from __future__ import annotations
