@@ -154,11 +154,19 @@ def config3_ivf_recall_sweep(small: bool) -> dict:
         # fused kernel's semantics reference): FAISS selects exactly, and
         # on TPU the fused path's PartialReduce selection costs ~2 points
         # here regardless of nprobe — that is a selection policy, not a
-        # probe-coverage property, so it is reported separately
-        idx.use_fused = False
-        _, ids = idx.search(q, 10, nprobe=nprobe)
-        idx.use_fused = True
+        # probe-coverage property, so it is reported separately. The
+        # per-query windowed path is only tractable at the small config
+        # (its (Q, nprobe, window, D) gathers are the reason the fused
+        # kernel exists); at 1M both numbers come from the fused path.
+        if n <= 100_000:
+            idx.use_fused = False
+            _, ids = idx.search(q, 10, nprobe=nprobe)
+            idx.use_fused = True
+        else:
+            ids = None
         _, ids_fused = idx.search(q, 10, nprobe=nprobe)
+        if ids is None:
+            ids = ids_fused
         stats = _bench(lambda x, p=nprobe: idx.search(x, 10, nprobe=p),
                        jnp.asarray(q), iters=4, warmup=1)
         sweep[str(nprobe)] = {
