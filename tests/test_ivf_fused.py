@@ -173,6 +173,25 @@ def test_union_mode_chunkmax_near_minrank(rng, monkeypatch):
     assert recalls["chunkmax"] >= 0.9
 
 
+def test_union_cap_and_query_chunk_overrides(rng):
+    """The tuning overrides flow through search: a deliberately starved
+    union (1 slot shared by many queries) must degrade recall vs the
+    default, proving the knob reaches the kernel."""
+    pts, _ = clustered_data(rng, n_clusters=32, per_cluster=32, spread=0.4)
+    q = rng.standard_normal((64, 16)).astype(np.float32)
+    _, truth = numpy_exact(q, pts, 10, "L2")
+    idx = IVFFlatIndex(16, nlist=32, train_iters=8)
+    idx.build(pts)
+    _, ids_full = idx.search(q, 10, nprobe=8)
+    idx.union_cap, idx.query_chunk = 1, 64
+    _, ids_starved = idx.search(q, 10, nprobe=8)
+    assert _recall(ids_starved, truth) < _recall(ids_full, truth)
+    idx.union_cap = idx.query_chunk = None
+    _, ids_again = idx.search(q, 10, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(ids_again),
+                                  np.asarray(ids_full))
+
+
 def test_ivf_int8_state_roundtrip(rng, tmp_path):
     from rag_faiss_embedding_tpu.index import VectorStore
 
