@@ -200,7 +200,6 @@ def _chunk_body(
     if shadow is None and k_cand > k:
         best_v, sel = lax.top_k(best_v, k)
         best_i = jnp.take_along_axis(best_i, sel, axis=1)
-        pos = jnp.take_along_axis(pos, sel, axis=1)
     if shadow is not None:
         # exact rerank of the quantized scan's candidates: the int8 cross
         # term caps recall@10 at ~0.980 (measured, 1M x 384); re-scoring
