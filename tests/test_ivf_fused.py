@@ -192,6 +192,26 @@ def test_union_cap_and_query_chunk_overrides(rng):
                                   np.asarray(ids_full))
 
 
+def test_union_mode_chunkmax_ip_metric(rng, monkeypatch):
+    """chunkmax + IP metric: the per-query normalization (score minus own
+    best) must keep dot-product rankings intact."""
+    from rag_faiss_embedding_tpu.ops import ivf_scan
+
+    monkeypatch.setattr(ivf_scan, "_COARSE_APPROX_MIN_NLIST", 8)
+    pts, _ = clustered_data(rng, n_clusters=16, per_cluster=32, spread=0.2)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    q = pts[::5] + 0.05 * rng.standard_normal(
+        (len(pts[::5]), 16)
+    ).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    _, truth = numpy_exact(q, pts, 5, "IP")
+    idx = IVFFlatIndex(16, nlist=16, metric="IP", train_iters=12,
+                       union_mode="chunkmax")
+    idx.build(pts)
+    _, ids = idx.search(q, 5, nprobe=8)
+    assert _recall(ids, truth) >= 0.95
+
+
 def test_ivf_int8_state_roundtrip(rng, tmp_path):
     from rag_faiss_embedding_tpu.index import VectorStore
 
