@@ -8,7 +8,8 @@ MEASURED (TPU v5e, 1M x 384, nlist 8192, ucap=qc=256, bf16):
 |---|---|---|---|
 | shipped XLA fused path | 644-707k | 0.9907 | approx selection |
 | v1: one block per grid cell | 252k | 0.9931 | 1024 tiny cells; per-cell fixed costs dominate |
-| v2 (this file): 8 blocks/cell | 653k | 0.9931 | MATCHES XLA speed at EXACT-selection recall |
+| v2: 8 blocks/cell | 653k | 0.9931 | amortized per-cell fixed costs |
+| v2 (this file): 16 blocks/cell | 694k | 0.9931 | TIES the XLA path at exact-selection recall; VMEM ~11MB |
 
 v2 validates the whole design: scalar-prefetched dynamic index maps DMA
 arbitrary union blocks correctly at speed (the pure-gather probe measured
@@ -38,7 +39,7 @@ from rag_faiss_embedding_tpu.ops import distance as dist_ops
 N_DB, DIM, K, Q_BATCH, REPS = 1_048_576, 384, 10, 1024, 8
 UCAP = QC = 256
 KP = 10
-BB = 8  # blocks per grid cell
+BB = 16  # blocks per grid cell
 
 key = jax.random.PRNGKey(0)
 
