@@ -56,7 +56,12 @@ class Config:
     index_metric: str = "L2"  # "L2" or "IP" — honored for real here
     index_path: Path = None  # type: ignore[assignment]
     index_dtype: str = "float32"  # "float32" (FAISS-exact), "bfloat16", "int8"
-    search_selector: str = "exact"  # "exact" (top_k) or "approx" (approx_max_k)
+    # "auto" resolves per dtype: int8 -> "rerank" (the only int8 flat config
+    # that passes the 0.99 recall gate — the quantized cross term caps plain
+    # int8+approx at ~0.980, docs/PERF.md), else "exact". Explicit values:
+    # "exact" (top_k), "approx" (approx_max_k), "rerank" (int8 + bf16-shadow
+    # exact rerank).
+    search_selector: str = "auto"
     index_kind: str = "flat"  # "flat" (exact) or "ivf" (ANN tier)
     ivf_nlist: int = 1024
     ivf_nprobe: int = 8
@@ -107,6 +112,11 @@ class Config:
         for name, val in file_defaults.items():
             if getattr(self, name) is None:
                 object.__setattr__(self, name, Path(val))
+        if self.search_selector == "auto":
+            object.__setattr__(
+                self, "search_selector",
+                "rerank" if self.index_dtype == "int8" else "exact",
+            )
         self.validate()
 
     def validate(self) -> bool:
@@ -121,8 +131,15 @@ class Config:
             raise ValueError(
                 "index_dtype must be 'float32', 'bfloat16' or 'int8'"
             )
-        if self.search_selector not in ("exact", "approx"):
-            raise ValueError("search_selector must be 'exact' or 'approx'")
+        if self.search_selector not in ("exact", "approx", "rerank"):
+            raise ValueError(
+                "search_selector must be 'exact', 'approx' or 'rerank'"
+            )
+        if self.search_selector == "rerank" and self.index_dtype != "int8":
+            raise ValueError(
+                "search_selector='rerank' requires index_dtype='int8' "
+                "(the bf16-shadow rerank re-scores quantized candidates)"
+            )
         if self.index_kind not in ("flat", "ivf"):
             raise ValueError("index_kind must be 'flat' or 'ivf'")
         if self.ivf_nlist <= 0 or self.ivf_nprobe <= 0:

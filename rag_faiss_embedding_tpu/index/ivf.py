@@ -164,6 +164,8 @@ class IVFFlatIndex:
         rerank: Optional[bool] = None,
         rerank_depth: int = 16,
         union_mode: str = "auto",
+        backend: str = "auto",
+        pallas_cap: int = 2,
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -255,6 +257,13 @@ class IVFFlatIndex:
         # query chunk override (None = ops/ivf_scan.pick_query_chunk)
         self.query_chunk: Optional[int] = None
         self._sorted_shadow: Optional[jax.Array] = None
+        # chunk-stage backend: "auto" dispatches the Pallas fused union-scan
+        # kernel (ops/pallas_ivf.py) when eligible (TPU, full-precision
+        # storage, 128-aligned shapes), else the XLA chunk path
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"bad backend {backend!r}")
+        self.backend = backend
+        self.pallas_cap = int(pallas_cap)
 
     # ------------------------------------------------------------- building
     @property
@@ -574,6 +583,7 @@ class IVFFlatIndex:
                     "chunkmax" if self.union_mode == "auto"
                     else self.union_mode
                 ),
+                backend=self.backend, pallas_cap=self.pallas_cap,
             )
         return self._search_windowed(q, k, nprobe)
 

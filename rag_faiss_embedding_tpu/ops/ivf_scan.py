@@ -237,9 +237,15 @@ def fused_ivf_search_math(
     qc: int,
     rerank_depth: int = 16,
     union_mode: str = "minrank",
+    backend: str = "xla",
+    pallas_cap: int = 2,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-batch fused search; one dispatch. Returns (values, ids) on the
     FINAL scale (L2: squared distance ascending; IP: score descending).
+
+    ``backend="pallas"`` routes the chunk stage through the Pallas fused
+    union-scan kernel (ops/pallas_ivf.py; requires full-precision storage).
 
     Exposed unjitted so the benchmark can wrap THIS function (the shipped
     path) in its checksum-amortized timing harness.
@@ -324,6 +330,41 @@ def fused_ivf_search_math(
             lambda p: _select_union(p, nlist, union_cap)
         )(pp.reshape(steps, qc, nprobe))             # (steps, U)
 
+    if backend == "pallas":
+        # Pallas fused union scan (ops/pallas_ivf.py): the chunk stage —
+        # block DMA, per-block MXU matmul, streaming slot-binned selection —
+        # runs on-chip; only (qc, cap*window) packed candidates per chunk
+        # come back. Shares this function's coarse/union head and
+        # spill/finalize tail with the XLA backend.
+        from .pallas_ivf import pick_bb, union_scan, unpack_candidates
+
+        bb = pick_bb(window, d, codes.dtype.itemsize, u_all.shape[1])
+        u_pad = (-u_all.shape[1]) % bb
+        if u_pad:
+            u_all = jnp.concatenate([
+                u_all,
+                jnp.full((steps, u_pad), nlist, jnp.int32),
+            ], axis=1)
+        qs = qp.astype(codes.dtype).reshape(steps, qc, d)
+        packed = union_scan(
+            qs, u_all,
+            codes.reshape(-1, window, d),
+            sorted_sq.reshape(-1, window)[:, None, :],
+            sorted_ids.reshape(-1, window)[:, None, :],
+            window=window, cap=pallas_cap, bb=bb, metric=metric,
+            interpret=interpret,
+        )
+        cv, ci = unpack_candidates(packed, u_all, sorted_ids, window=window)
+        k_eff = min(k, cv.shape[1])
+        vals_p, pos = lax.top_k(cv, k_eff)   # exact: candidates are narrow
+        ids_p = jnp.take_along_axis(ci, pos, axis=1)
+        inv = jnp.argsort(perm)
+        best_v = vals_p[:nq][inv]
+        best_i = ids_p[:nq][inv]
+        return _spill_and_finalize(
+            best_v, best_i, qf, q_sq, spill, quantized, metric, k, nq
+        )
+
     if quantized:
         qp_i8, qp_scale = quantize_rows(qp)
     else:
@@ -389,8 +430,16 @@ def fused_ivf_search_math(
     inv = jnp.argsort(perm)
     best_v = vals_p[:nq][inv]
     best_i = ids_p[:nq][inv]
+    return _spill_and_finalize(
+        best_v, best_i, qf, q_sq, spill, quantized, metric, k, nq
+    )
 
-    # 3. spill tier (window-cap overflow + streaming adds): ONE whole-batch
+
+def _spill_and_finalize(best_v, best_i, qf, q_sq, spill, quantized, metric,
+                        k, nq):
+    """Shared tail of both chunk backends: spill-tier merge + conversion
+    from the internal higher-better scale to the FAISS return scale."""
+    # spill tier (window-cap overflow + streaming adds): ONE whole-batch
     # MXU matmul, exact top-k, exact merge
     if spill is not None:
         s_codes, s_scales, s_sq, s_ids = spill
@@ -417,7 +466,7 @@ def fused_ivf_search_math(
             min(k, best_v.shape[1] + k_spill),
         )
 
-    # 4. final scale conversion + k padding
+    # final scale conversion + k padding
     ok = best_v > NEG_INF
     best_i = jnp.where(ok, best_i, -1)
     if metric == "L2":
@@ -441,7 +490,8 @@ _fused_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "nprobe", "window", "metric", "recall_target", "union_cap",
-        "qc", "rerank_depth", "union_mode",
+        "qc", "rerank_depth", "union_mode", "backend", "pallas_cap",
+        "interpret",
     ),
 )(fused_ivf_search_math)
 
@@ -466,8 +516,15 @@ def fused_ivf_search(
     qc: Optional[int] = None,
     rerank_depth: int = 16,
     union_mode: str = "minrank",
+    backend: str = "auto",
+    pallas_cap: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched fused IVF search over a block-padded index.
+
+    ``backend``: "auto" picks the Pallas union-scan kernel when eligible
+    (TPU, full-precision storage, aligned shapes — ops/pallas_ivf.py),
+    else the XLA chunk path; "xla" / "pallas" force a choice ("pallas"
+    off-TPU runs in interpret mode, for tests).
 
     Returns (values, indices), (Nq, k)."""
     nq, dim = q.shape
@@ -481,10 +538,34 @@ def fused_ivf_search(
             union_cap=union_cap,
         )
     qc = min(qc, max(8, nq))
+    interpret = False
+    if backend != "xla":
+        from .pallas_ivf import pallas_eligible
+
+        platform = jax.devices()[0].platform
+        # small batches pad up to the kernel's minimum chunk (bf16 sublane
+        # tiling needs >= 16 query rows; replica padding costs nothing)
+        qc_pallas = max(qc, 16)
+        eligible = pallas_eligible(
+            platform=platform, quantized=scales is not None, window=window,
+            dim=dim, qc=qc_pallas, shadow=shadow,
+            interpret=backend == "pallas",
+        )
+        if eligible:
+            qc = qc_pallas
+        if backend == "pallas" and not eligible:
+            raise ValueError(
+                "pallas backend needs full-precision storage, no shadow, "
+                f"window/dim multiples of 128, qc >= 16 (got window={window} "
+                f"dim={dim} qc={qc} quantized={scales is not None})"
+            )
+        backend = "pallas" if eligible else "xla"
+        interpret = backend == "pallas" and platform != "tpu"
     return _fused_jit(
         jnp.asarray(q, jnp.float32), centroids, cent_sq, codes, scales,
         sorted_sq, sorted_ids, spill, shadow,
         k=k, nprobe=nprobe, window=window, metric=metric,
         recall_target=recall_target, union_cap=union_cap, qc=qc,
         rerank_depth=rerank_depth, union_mode=union_mode,
+        backend=backend, pallas_cap=pallas_cap, interpret=interpret,
     )

@@ -1,0 +1,258 @@
+"""Pallas fused IVF union-scan kernel: block DMA + MXU matmul + streaming
+slot-binned top-candidates selection, all on-chip.
+
+This is the round-3 promotion of ``benchmarks/pallas_fused_proto.py`` into
+the shipped IVF path (replacing ``faiss.IndexIVFFlat.search``'s C++ list
+scan, reference ``faiss_store.py:49-81`` / BASELINE.md config #3). The
+XLA fused path (ops/ivf_scan.py) is materialization-bound: XLA will not
+fuse a gather into a dot operand, so the gathered union rows round-trip
+HBM once (write + re-read for the matmul) and the scores round-trip again
+for selection — 0.81 ms of a 1.45 ms batch at 1M x 384 (docs/PERF.md).
+Here the whole probe stage runs inside one Pallas grid:
+
+- **Block DMA via scalar-prefetched index maps.** The union list ids for
+  every chunk (``u_all``, computed by the shared coarse/union stage in
+  ops/ivf_scan.py) ride in as a scalar-prefetch operand; each grid cell's
+  BlockSpec index maps select ``bb`` arbitrary (window, D) list blocks of
+  the block-padded storage. Pallas double-buffers these DMAs across grid
+  cells, so HBM reads overlap MXU work and the rows never materialize.
+
+- **Per-block MXU matmul.** Each block scores as one (qc, D) x (D, window)
+  dot with fp32 accumulation — MXU-shaped for window >= 128.
+
+- **Streaming slot-binned selection (the round-3 fix).** The prototype's
+  per-cell exact top-k (k serial masked-argmax passes over the full
+  (qc, bb*window) score tile) was ~0.5 ms of VPU work. Instead, each
+  query keeps ``window`` bins — one per within-list slot position — and
+  each bin holds the ``cap`` best (score, block) pairs seen across ALL
+  union blocks. Because a list's rows occupy distinct slots, two
+  neighbors in the SAME list can never collide in a bin; cross-list
+  collisions need >= ``cap`` better-scoring rows in one slot bin
+  (P ~ C(k,cap)/window^cap per neighbor — < 1e-3 at cap=2, window=128).
+  The insert is a compare-free max/min chain on a PACKED int32 (the
+  order-preserving float trick from ops/pallas_scan._monotone_i32, low
+  bits carrying the union-block id): 2 VPU ops per level, ~(4 + 2*cap)
+  ops/element total vs ~55 for the masked-argmax loop. Packing truncates
+  ceil(log2(U)) low mantissa bits (~2^-15 relative at U=256) — far below
+  the bf16 matmul's own rounding, so ranking and returned values are
+  unaffected at fp32-oracle recall granularity.
+
+Only the (qc, cap*window) packed candidates per chunk leave the kernel;
+unpacking, id lookup, exact final top-k, spill merge, and scale conversion
+happen in XLA (ops/ivf_scan.py shares that tail with the XLA backend).
+
+Measured (TPU v5e, 1M x 384, nlist 8192, ucap=qc=256, bf16, top-10):
+the masked-argmax prototype tied the XLA path at 694k QPS @ 0.9931; this
+kernel removes the selection bottleneck — see docs/PERF.md for the
+shipped numbers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .distance import NEG_INF
+from .pallas_scan import _monotone_i32
+
+__all__ = ["union_scan", "unpack_candidates", "pallas_eligible"]
+
+# target bytes of union blocks resident per grid cell (x2 for Pallas's
+# double buffering); 16 x (128, 384) bf16 blocks ~ 1.6 MB
+_CELL_BLOCK_BYTES = 2 << 20
+
+
+def _mono_i32_host(x: float) -> int:
+    """Host-side order-preserving f32 -> int32 map (mirrors
+    ops/pallas_scan._monotone_i32)."""
+    bits = int(np.array(np.float32(x)).view(np.int32))
+    return bits ^ 0x7FFFFFFF if bits < 0 else bits
+
+
+def _unmonotone_f32(mono: jax.Array) -> jax.Array:
+    """XLA-side inverse of the order-preserving map."""
+    bits = jnp.where(mono < 0, mono ^ jnp.int32(0x7FFFFFFF), mono)
+    return lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def pick_bb(window: int, dim: int, itemsize: int, u_pad: int) -> int:
+    """Union blocks per grid cell: amortize per-cell fixed costs (measured
+    252k QPS at bb=1 vs 694k at bb=16, docs/PERF.md) while keeping the
+    cell's resident blocks within the VMEM budget."""
+    block_bytes = window * dim * itemsize
+    bb = max(1, min(16, _CELL_BLOCK_BYTES // max(block_bytes, 1)))
+    return min(bb, u_pad)
+
+
+def _make_kernel(bb: int, cap: int, metric: str, nbits: int, window: int,
+                 precision, init_packed: int):
+    mask_lo = (1 << nbits) - 1
+
+    def kern(u_ref, q_ref, *refs):
+        blks = refs[:bb]                 # each (1, window, D)
+        rsqs = refs[bb:2 * bb]           # each (1, 1, window)
+        rids = refs[2 * bb:3 * bb]       # each (1, 1, window)
+        out_ref = refs[3 * bb]           # (1, QC, cap*window)
+        runs = refs[3 * bb + 1]          # scratch (cap, QC, window) int32
+
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _():
+            runs[:] = jnp.full_like(runs[:], jnp.int32(init_packed))
+
+        q = q_ref[0]                     # (QC, D)
+        for j in range(bb):
+            dots = lax.dot_general(
+                q, blks[j][0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )                            # (QC, window)
+            rid = rids[j][0]             # (1, window)
+            if metric == "L2":
+                s = 2.0 * dots - rsqs[j][0]
+            else:
+                s = dots
+            s = jnp.where(rid >= 0, s, NEG_INF)
+            jglob = b * bb + j           # this block's slot in the union
+            packed = (_monotone_i32(s) & jnp.int32(~mask_lo)) | jglob
+            # streaming top-`cap` per (query, slot) bin: max/min chain on
+            # the packed values — the demoted entry cascades down a level
+            t = packed
+            for lvl in range(cap):
+                cur = runs[lvl]
+                runs[lvl] = jnp.maximum(cur, t)
+                t = jnp.minimum(cur, t)
+
+        @pl.when(b == pl.num_programs(1) - 1)
+        def _():
+            for lvl in range(cap):
+                out_ref[0, :, lvl * window:(lvl + 1) * window] = runs[lvl]
+
+    return kern
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "cap", "bb", "metric", "interpret"),
+)
+def union_scan(
+    qs: jax.Array,       # (chunks, QC, D) storage dtype
+    u_all: jax.Array,    # (chunks, U) int32 union block ids (may hold the
+    #                      sentinel id nlist; U must be a multiple of bb)
+    codes3: jax.Array,   # (nlist+1, window, D) block-padded storage
+    sq3: jax.Array,      # (nlist+1, 1, window) f32 row sqnorms
+    ids3: jax.Array,     # (nlist+1, 1, window) int32 row ids (-1 = dead)
+    *,
+    window: int,
+    cap: int,
+    bb: int,
+    metric: str,
+    interpret: bool,
+) -> jax.Array:
+    """Scan each chunk's union blocks; return PACKED candidates
+    (chunks, QC, cap*window) int32 — order-mapped scores with the low
+    ``ceil(log2(U))`` bits carrying the union-block index. Decode with
+    :func:`unpack_candidates`."""
+    chunks, qc, d = qs.shape
+    u = u_all.shape[1]
+    assert u % bb == 0, (u, bb)
+    nb = u // bb
+    nbits = max(1, int(np.ceil(np.log2(max(u, 2)))))
+    init_packed = _mono_i32_host(NEG_INF) & ~((1 << nbits) - 1)
+    precision = (
+        lax.Precision.HIGHEST if qs.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+
+    in_specs = [pl.BlockSpec((1, qc, d), lambda c, b, u_pre: (c, 0, 0))]
+    for j in range(bb):
+        in_specs.append(pl.BlockSpec(
+            (1, window, d),
+            lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
+    for j in range(bb):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, window),
+            lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
+    for j in range(bb):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, window),
+            lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(chunks, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, qc, cap * window), lambda c, b, u_pre: (c, 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((cap, qc, window), jnp.int32)],
+    )
+    kernel = _make_kernel(bb, cap, metric, nbits, window, precision,
+                          init_packed)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((chunks, qc, cap * window), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * chunks * qc * u * window * d,
+            bytes_accessed=(
+                chunks * u * window * d * qs.dtype.itemsize
+                + chunks * qc * d * qs.dtype.itemsize
+                + chunks * qc * cap * window * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(u_all, qs, *([codes3] * bb), *([sq3] * bb), *([ids3] * bb))
+
+
+def unpack_candidates(
+    packed: jax.Array,     # (chunks, QC, cap*window) int32 from union_scan
+    u_all: jax.Array,      # (chunks, U) int32
+    sorted_ids: jax.Array,  # ((nlist+1)*window,) int32
+    *,
+    window: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode packed candidates to (scores, global row ids), both
+    (chunks*QC, cap*window). Scores are on the internal higher-better
+    scale; invalid slots carry NEG_INF / id -1."""
+    chunks, qc, capw = packed.shape
+    u = u_all.shape[1]
+    nbits = max(1, int(np.ceil(np.log2(max(u, 2)))))
+    mask_lo = jnp.int32((1 << nbits) - 1)
+    jglob = packed & mask_lo                       # (chunks, QC, capw)
+    vals = _unmonotone_f32(packed & ~mask_lo)
+    blk = jnp.take_along_axis(
+        u_all[:, None, :], jnp.minimum(jglob, u - 1), axis=2
+    )                                              # (chunks, QC, capw)
+    lane = (
+        lax.broadcasted_iota(jnp.int32, (chunks, qc, capw), 2) % window
+    )
+    ids = sorted_ids[blk * window + lane]
+    valid = vals > 0.5 * NEG_INF
+    vals = jnp.where(valid, vals, NEG_INF)
+    ids = jnp.where(valid, ids, -1)
+    return vals.reshape(chunks * qc, capw), ids.reshape(chunks * qc, capw)
+
+
+def pallas_eligible(
+    *, platform: str, quantized: bool, window: int, dim: int, qc: int,
+    shadow, interpret: bool = False,
+) -> bool:
+    """Dispatch guard for the Pallas backend: full-precision storage (the
+    gated winner is bf16 — int8's shadow rerank stays on the XLA path),
+    MXU/VPU-aligned shapes, and a real TPU (or explicit interpret mode)."""
+    return (
+        (platform == "tpu" or interpret)
+        and not quantized
+        and shadow is None
+        and window % 128 == 0
+        and dim % 128 == 0
+        and qc >= 16
+    )

@@ -55,24 +55,28 @@ from ..ops.quantize import quantize_rows
 logger = get_logger(__name__)
 
 
-def _tier_scan(q, vecs, sq, ids, count, k):
+def _tier_scan(q, vecs, sq, ids, count, k, metric="L2"):
     """Local exact scan over a per-device tier (spill / pending): returns
-    (L2 dists, global ids) with invalid slots masked to (inf, -1)."""
+    (values, global ids) with invalid slots masked to (inf|-inf, -1)."""
     vals, idx = dist_ops._exact_search_impl(
-        q, vecs, k, metric="L2", db_sq=sq,
+        q, vecs, k, metric=metric, db_sq=sq,
         n_valid=count.astype(jnp.int32),
         chunk_size=max(1, vecs.shape[0]),
     )
     gids = jnp.where(idx >= 0, ids[jnp.maximum(idx, 0)], -1)
-    vals = jnp.where(gids >= 0, vals, jnp.inf)
+    fill = jnp.inf if metric == "L2" else -jnp.inf
+    vals = jnp.where(gids >= 0, vals, fill)
     return vals, gids
 
 
-def _merge_local(parts, k):
-    """Merge (dist, gid) candidate sets on the local device (L2 ascending)."""
+def _merge_local(parts, k, metric="L2"):
+    """Merge (value, gid) candidate sets on the local device (L2 ascending
+    distances; IP descending scores)."""
     vals = jnp.concatenate([p[0] for p in parts], axis=1)
     gids = jnp.concatenate([p[1] for p in parts], axis=1)
-    scores = jnp.where(gids >= 0, -vals, dist_ops.NEG_INF)
+    scores = jnp.where(
+        gids >= 0, -vals if metric == "L2" else vals, dist_ops.NEG_INF
+    )
     k_eff = min(k, vals.shape[1])
     best, pos = jax.lax.top_k(scores, k_eff)
     return (
@@ -86,7 +90,7 @@ def _build_sharded_fused(
     mesh: Mesh, k: int, window: int, db_axis: str,
     nprobe: int, union_cap: int, qc: int, recall_target: float,
     quantized: bool, has_spill: bool, has_pending: bool,
-    union_mode: str = "minrank",
+    union_mode: str = "minrank", metric: str = "L2",
 ):
     n_tiers = has_spill + has_pending
 
@@ -94,7 +98,7 @@ def _build_sharded_fused(
         vals, gids = fused_ivf_search_math(
             q, cent, cent_sq, codes[0], scales[0] if quantized else None,
             sq[0], ids[0], None,
-            k=k, nprobe=nprobe, window=window, metric="L2",
+            k=k, nprobe=nprobe, window=window, metric=metric,
             recall_target=recall_target, union_cap=union_cap, qc=qc,
             union_mode=union_mode,
         )
@@ -104,18 +108,25 @@ def _build_sharded_fused(
             t_vecs, t_sq, t_ids, t_count = rest[:4]
             rest = rest[4:]
             parts.append(_tier_scan(
-                q, t_vecs[0], t_sq[0], t_ids[0], t_count[0], k
+                q, t_vecs[0], t_sq[0], t_ids[0], t_count[0], k, metric
             ))
-        vals, gids = _merge_local(parts, k) if len(parts) > 1 else parts[0]
+        vals, gids = (
+            _merge_local(parts, k, metric) if len(parts) > 1 else parts[0]
+        )
 
         all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
         all_ids = jax.lax.all_gather(gids, db_axis, axis=1, tiled=True)
-        scores = jnp.where(all_ids >= 0, -all_vals, dist_ops.NEG_INF)
+        scores = jnp.where(
+            all_ids >= 0, -all_vals if metric == "L2" else all_vals,
+            dist_ops.NEG_INF,
+        )
         k_out = min(k, all_vals.shape[1])
         best, pos = jax.lax.top_k(scores, k_out)
         out_v = jnp.take_along_axis(all_vals, pos, axis=1)
         out_i = jnp.take_along_axis(all_ids, pos, axis=1)
-        out_v = jnp.where(out_i >= 0, out_v, jnp.inf)
+        out_v = jnp.where(
+            out_i >= 0, out_v, jnp.inf if metric == "L2" else -jnp.inf
+        )
         return out_v, out_i
 
     scale_spec = P(db_axis)
@@ -147,8 +158,8 @@ class ShardedIVFIndex:
         seed: int = 0,
         union_cap: Optional[int] = None,
     ):
-        if metric != "L2":
-            raise ValueError("ShardedIVFIndex currently supports metric='L2' only")
+        if metric not in ("L2", "IP"):
+            raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
         self.dim = int(dim)
         self.mesh = mesh
         self.nlist = int(nlist)
@@ -201,8 +212,12 @@ class ShardedIVFIndex:
             logger.warning("reducing nlist %d -> %d", self.nlist, nlist)
             self.nlist = nlist
         if self.centroids is None or self.centroids.shape[0] != self.nlist:
+            # IP uses spherical k-means (normalized centroids, dot-product
+            # assignment) so the coarse partition matches the probe rule —
+            # single-chip parity with index/ivf.py:284-288
             cents, _ = train_kmeans(
                 vecs, self.nlist, n_iters=self.train_iters, seed=self.seed,
+                spherical=(self.metric == "IP"),
             )
             if self.nlist >= 64:
                 # spatial relabeling: the fused kernel's chunk locality
@@ -218,7 +233,7 @@ class ShardedIVFIndex:
         )
 
         # ---- vectorized per-device layout (one argsort over (n_dev, per))
-        assigns, _ = kmeans_assign(vecs, self.centroids)
+        assigns, _ = kmeans_assign(vecs, self.centroids, metric=self.metric)
         per = -(-n // self.n_dev)
         n_pad = per * self.n_dev
         a2 = jnp.pad(assigns.astype(jnp.int32), (0, n_pad - n),
@@ -402,9 +417,10 @@ class ShardedIVFIndex:
         if q.ndim == 1:
             q = q[None, :]
         nq = q.shape[0]
+        fill = jnp.inf if self.metric == "L2" else -jnp.inf
         if self.ntotal == 0:
             return (
-                jnp.full((nq, k), jnp.inf, jnp.float32),
+                jnp.full((nq, k), fill, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
             )
         q = jax.device_put(q, self._replicated)
@@ -429,6 +445,7 @@ class ShardedIVFIndex:
             self.quantized, self._spill is not None,
             self._pending_dev is not None,
             union_mode="chunkmax" if self.nlist > 2048 else "minrank",
+            metric=self.metric,
         )
         scales = (
             self._scales if self.quantized
@@ -441,7 +458,7 @@ class ShardedIVFIndex:
         if vals.shape[1] < k:
             pad = k - vals.shape[1]
             vals = jnp.concatenate(
-                [vals, jnp.full((nq, pad), jnp.inf, vals.dtype)], axis=1
+                [vals, jnp.full((nq, pad), fill, vals.dtype)], axis=1
             )
             ids = jnp.concatenate(
                 [ids, jnp.full((nq, pad), -1, jnp.int32)], axis=1
@@ -490,20 +507,128 @@ class ShardedIVFIndex:
         return vecs[np.argsort(ids, kind="stable")]
 
     # ---------------------------------------------------------------- io
+    @staticmethod
+    def _to_host(arr) -> np.ndarray:
+        """savez-able numpy view (bf16 -> uint16 bits), exact."""
+        arr = jnp.asarray(arr)
+        if arr.dtype == jnp.bfloat16:
+            arr = arr.view(jnp.uint16)
+        return np.asarray(arr)
+
+    def _from_host(self, arr: np.ndarray, dtype) -> jax.Array:
+        if jnp.dtype(dtype) == jnp.bfloat16:
+            return jnp.asarray(arr, jnp.uint16).view(jnp.bfloat16)
+        return jnp.asarray(arr, dtype)
+
     def state_dict(self) -> dict:
-        return {
+        """Exact state, compact (format "sharded_padded_v1"): live block
+        rows in (device, list, rank) order + per-device list lengths —
+        reload re-scatters instead of re-running assignment, codes/scales
+        persist AS STORED (int8 bit-exact, no dequantize/requantize cycle).
+        Sharded analog of the single-chip ``padded_v3`` format
+        (index/ivf.py:state_dict; the ``faiss.write_index`` role,
+        ``faiss_store.py:83-97``, at BASELINE config #4 scale)."""
+        state = {
             "kind": "sharded_ivf",
+            "format": "sharded_padded_v1",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
             "nlist": self.nlist,
             "nprobe": self.nprobe,
             "window_quantile": self.window_quantile,
+            "n_dev": self.n_dev,
+            "window": self._window,
+            "next_id": self._next_id,
+            "n_built": self._n_built,
             "centroids": np.asarray(self.centroids)
             if self.centroids is not None
             else np.zeros((0, self.dim), np.float32),
-            "vectors": self.vectors(),
         }
+        if self._n_built:
+            ids_np = np.asarray(self._ids)          # (n_dev, n_slots)
+            n_slots = ids_np.shape[1]
+            live = ids_np.reshape(-1) >= 0          # slot order == list order
+            pos = jnp.asarray(np.nonzero(live)[0])
+            lengths = (
+                ids_np[:, : self.nlist * self._window]
+                .reshape(self.n_dev, self.nlist, self._window) >= 0
+            ).sum(axis=2).astype(np.int32)
+            state.update({
+                "lengths": lengths,
+                "codes": self._to_host(
+                    self._vecs.reshape(-1, self.dim)[pos]
+                ),
+                "sqnorms": np.asarray(self._sq.reshape(-1)[pos]),
+                "sorted_ids": ids_np.reshape(-1)[live],
+            })
+            if self.quantized:
+                state["scales"] = np.asarray(self._scales.reshape(-1)[pos])
+            if self._spill is not None:
+                sp_vecs, sp_sq, sp_ids, _ = self._spill
+                s_ids = np.asarray(sp_ids).reshape(-1)
+                s_live = s_ids >= 0
+                s_pos = jnp.asarray(np.nonzero(s_live)[0])
+                state.update({
+                    "spill_codes": self._to_host(
+                        sp_vecs.reshape(-1, self.dim)[s_pos]
+                    ),
+                    "spill_sq": np.asarray(sp_sq.reshape(-1)[s_pos]),
+                    "spill_ids": s_ids[s_live],
+                })
+        if len(self._stream_ids):
+            state.update({
+                "stream_vecs": self._stream_vecs,
+                "stream_ids": self._stream_ids,
+            })
+        return state
+
+    def _install_rows(
+        self,
+        codes: jax.Array,      # (n_live, D) as-stored rows
+        sq: np.ndarray,
+        ids: np.ndarray,
+        scales: Optional[np.ndarray],
+        dev_of_row: np.ndarray,   # (n_live,) target device per row
+        list_of_row: np.ndarray,  # (n_live,) inverted-list id per row
+        window: int,
+    ) -> None:
+        """Scatter flat live rows into the (n_dev, (nlist+1)*window, ...)
+        block-padded sharded layout. Index arithmetic is host-side scalars;
+        the vectors move in ONE device gather."""
+        n_live = len(ids)
+        order = np.lexsort((ids, list_of_row, dev_of_row))
+        dev_s, list_s = dev_of_row[order], list_of_row[order]
+        # rank within the (device, list) group
+        group = dev_s.astype(np.int64) * self.nlist + list_s
+        first = np.r_[True, group[1:] != group[:-1]] if n_live else np.zeros(
+            0, bool
+        )
+        group_start = np.maximum.accumulate(
+            np.where(first, np.arange(n_live), 0)
+        )
+        rank = np.arange(n_live) - group_start
+        n_slots = (self.nlist + 1) * window
+        dest = (dev_s.astype(np.int64) * n_slots
+                + list_s.astype(np.int64) * window + rank)
+        src = np.full(self.n_dev * n_slots, n_live, np.int64)
+        src[dest] = order
+        src_dev = jnp.asarray(src.reshape(self.n_dev, n_slots))
+
+        def scatter(arr, fill, dtype=None):
+            arr = jnp.asarray(arr) if not isinstance(arr, jax.Array) else arr
+            filler = jnp.full((1,) + arr.shape[1:], fill, arr.dtype)
+            out = jnp.concatenate([arr, filler])[src_dev]
+            return jax.device_put(out, self._sharding)
+
+        self._vecs = scatter(codes, 0)
+        self._sq = scatter(jnp.asarray(sq, jnp.float32), 0.0)
+        self._ids = scatter(jnp.asarray(ids, jnp.int32), -1)
+        self._scales = (
+            scatter(jnp.asarray(scales, jnp.float32), 0.0)
+            if scales is not None else None
+        )
+        self._window = window
 
     @classmethod
     def from_state_dict(
@@ -531,7 +656,88 @@ class ShardedIVFIndex:
         centroids = np.asarray(state["centroids"])
         if centroids.size:
             idx.centroids = jnp.asarray(centroids)
-        vectors = np.asarray(state["vectors"])
-        if len(vectors):
-            idx.build(vectors)
+
+        fmt = str(item(state.get("format", "")))
+        if fmt != "sharded_padded_v1":
+            # legacy format: insertion-order vectors -> rebuild
+            vectors = np.asarray(state["vectors"])
+            if len(vectors):
+                idx.build(vectors)
+            return idx
+
+        saved_dev = int(item(state["n_dev"]))
+        window = int(item(state["window"]))
+        idx._next_id = int(item(state["next_id"]))
+        idx._n_built = int(item(state["n_built"]))
+        if idx._n_built:
+            lengths = np.asarray(state["lengths"], np.int64)
+            ids = np.asarray(state["sorted_ids"], np.int32)
+            codes = idx._from_host(np.asarray(state["codes"]), idx.dtype)
+            sq = np.asarray(state["sqnorms"], np.float32)
+            scales = (
+                np.asarray(state["scales"], np.float32)
+                if idx.quantized else None
+            )
+            list_of_row = np.repeat(
+                np.tile(np.arange(idx.nlist), saved_dev), lengths.reshape(-1)
+            )
+            if saved_dev == idx.n_dev:
+                dev_of_row = np.repeat(
+                    np.arange(saved_dev), lengths.sum(axis=1)
+                )
+            else:
+                # mesh size changed: re-stripe rows by global id (list
+                # membership is saved state, so this is a pure re-scatter —
+                # still no re-assignment and still bit-exact codes)
+                logger.info(
+                    "sharded IVF reload across mesh sizes (%d -> %d "
+                    "devices): re-striping rows", saved_dev, idx.n_dev,
+                )
+                per_new = -(-max(int(ids.max()) + 1, 1) // idx.n_dev)
+                dev_of_row = np.minimum(ids // per_new, idx.n_dev - 1)
+                new_len = np.zeros((idx.n_dev, idx.nlist), np.int64)
+                np.add.at(new_len, (dev_of_row, list_of_row), 1)
+                window = int(_round_up(max(int(new_len.max()), 1), 128))
+            idx._install_rows(
+                codes, sq, ids, scales, dev_of_row, list_of_row, window
+            )
+            idx._cent_store = jax.device_put(
+                idx.centroids.astype(idx._tier_dtype), idx._replicated
+            )
+            idx._cent_sq = jax.device_put(
+                dist_ops.sqnorms(idx.centroids), idx._replicated
+            )
+            if "spill_ids" in state:
+                sp_ids = np.asarray(state["spill_ids"], np.int32)
+                sp_codes = idx._from_host(
+                    np.asarray(state["spill_codes"]), idx._tier_dtype
+                )
+                sp_sq = np.asarray(state["spill_sq"], np.float32)
+                # re-stripe round-robin: spill rows are exactly scanned on
+                # whichever device holds them, so placement is free
+                n_sp = len(sp_ids)
+                s_pad = int(_round_up(-(-n_sp // idx.n_dev), 128))
+                vecs_h = np.zeros((idx.n_dev, s_pad, idx.dim), np.float32)
+                sq_h = np.zeros((idx.n_dev, s_pad), np.float32)
+                ids_h = np.full((idx.n_dev, s_pad), -1, np.int32)
+                counts = np.zeros((idx.n_dev, 1), np.int32)
+                sp_codes_f = np.asarray(sp_codes.astype(jnp.float32))
+                for d in range(idx.n_dev):
+                    rows = sp_codes_f[d::idx.n_dev]
+                    counts[d, 0] = len(rows)
+                    vecs_h[d, : len(rows)] = rows
+                    sq_h[d, : len(rows)] = sp_sq[d::idx.n_dev]
+                    ids_h[d, : len(rows)] = sp_ids[d::idx.n_dev]
+                idx._spill = (
+                    jax.device_put(
+                        jnp.asarray(vecs_h).astype(idx._tier_dtype),
+                        idx._sharding,
+                    ),
+                    jax.device_put(jnp.asarray(sq_h), idx._sharding),
+                    jax.device_put(jnp.asarray(ids_h), idx._sharding),
+                    jax.device_put(jnp.asarray(counts), idx._sharding),
+                )
+        if "stream_ids" in state:
+            idx._stream_vecs = np.asarray(state["stream_vecs"], np.float32)
+            idx._stream_ids = np.asarray(state["stream_ids"], np.int32)
         return idx

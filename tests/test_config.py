@@ -74,3 +74,36 @@ def test_ivf_ip_int8_config_composes_end_to_end(tmp_path):
     idx.build(pts)
     _, ids = idx.search(pts[5], 1, nprobe=4)
     assert int(np.asarray(ids)[0, 0]) == 5
+
+
+def test_int8_selector_auto_resolves_to_rerank(tmp_path, monkeypatch):
+    """The gated int8 flat config (VERDICT r2 #2): configuring
+    ``index_dtype=int8`` through Config/env yields selector='rerank' — the
+    only int8 config that passes the 0.99 recall gate (docs/PERF.md) — and
+    it threads through to a working FlatIndex."""
+    cfg = Config(base_dir=tmp_path, index_dtype="int8")
+    assert cfg.search_selector == "rerank"
+    # float dtypes keep the exact selector
+    assert Config(base_dir=tmp_path).search_selector == "exact"
+    # env route (what a deployment actually sets)
+    monkeypatch.setenv("RFE_INDEX_DTYPE", "int8")
+    assert Config.from_env(base_dir=tmp_path).search_selector == "rerank"
+
+    from rag_faiss_embedding_tpu.index import FlatIndex
+
+    idx = FlatIndex(16, dtype=cfg.index_dtype, selector=cfg.search_selector)
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((64, 16)).astype(np.float32)
+    idx.add(pts)
+    _, ids = idx.search(pts[:4], 3)
+    assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
+
+
+def test_rerank_selector_requires_int8(tmp_path):
+    with pytest.raises(ValueError, match="rerank"):
+        Config(base_dir=tmp_path, index_dtype="float32",
+               search_selector="rerank")
+    # explicit rerank + int8 is fine
+    cfg = Config(base_dir=tmp_path, index_dtype="int8",
+                 search_selector="rerank")
+    assert cfg.search_selector == "rerank"

@@ -197,3 +197,117 @@ def test_sharded_flat_loads_without_explicit_mesh(rng, tmp_path):
     assert loaded.index.n_dev == 8  # all virtual devices
     _, ids = loaded.search(db[3], k=1)
     assert ids == [3]
+
+
+def test_sharded_ivf_ip_metric(rng):
+    """IP metric across the mesh (VERDICT r2 #4): spherical k-means + dot
+    probes + descending all-gather merge; full probe matches the numpy IP
+    oracle, streamed adds surface through the pending tier."""
+    mesh = make_mesh({"db": 4})
+    pts, _ = clustered_data(rng, n_clusters=8, per_cluster=32, spread=0.2)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    idx = ShardedIVFIndex(16, mesh, nlist=8, nprobe=8, metric="IP",
+                          train_iters=12)
+    idx.build(pts)
+    q = pts[::7] + 0.03 * rng.standard_normal(
+        (len(pts[::7]), 16)).astype(np.float32)
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    ref_vals, ref_ids = numpy_exact(q, pts, 5, "IP")
+    vals, ids = idx.search(q, 5, nprobe=8)
+    assert _recall(ids, ref_ids) == 1.0
+    vals = np.asarray(vals)
+    assert (np.diff(vals, axis=1) <= 1e-6).all()  # IP descends
+    np.testing.assert_allclose(
+        np.sort(vals, 1), np.sort(ref_vals, 1), rtol=1e-3, atol=1e-3
+    )
+    # small nprobe stays sharp on clustered data
+    _, ids1 = idx.search(q, 5, nprobe=2)
+    assert _recall(ids1, ref_ids) > 0.9
+    # streamed adds reachable (IP-scored pending tier)
+    extra = rng.standard_normal((3, 16)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    idx.add(extra)
+    _, hit = idx.search(extra[1], 1)
+    assert int(np.asarray(hit)[0, 0]) == len(pts) + 1
+
+
+def test_sharded_ivf_lossless_reload_is_not_a_rebuild(rng, monkeypatch):
+    """VERDICT r2 #3: reload re-SCATTERS saved rows (no re-assignment, no
+    host-side rebuild) and results match bit-exactly."""
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.parallel import sharded_ivf as siv
+
+    mesh = make_mesh({"db": 4})
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 5
+    big = rng.standard_normal((600, 16)).astype(np.float32) * 0.05 + centers[0]
+    rest = (centers[None] + 0.05 * rng.standard_normal((40, 8, 16))
+            ).reshape(-1, 16).astype(np.float32)
+    pts = np.concatenate([big, rest])
+    idx = ShardedIVFIndex(16, mesh, nlist=8, nprobe=8, train_iters=10)
+    idx.window_quantile = 0.5
+    idx.centroids = jnp.asarray(centers)
+    idx.build(pts)
+    assert idx._spill is not None  # spill tier must round-trip too
+    extra = rng.standard_normal((5, 16)).astype(np.float32)
+    idx.add(extra)  # stream tier must round-trip too
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    v1, i1 = map(np.asarray, idx.search(q, 7, nprobe=8))
+    state = idx.state_dict()
+
+    def boom(*a, **k):
+        raise AssertionError("reload must not re-assign or re-build")
+
+    monkeypatch.setattr(siv, "kmeans_assign", boom)
+    monkeypatch.setattr(siv, "train_kmeans", boom)
+    monkeypatch.setattr(ShardedIVFIndex, "build", boom)
+    loaded = ShardedIVFIndex.from_state_dict(state, mesh=mesh)
+    assert loaded._window == idx._window
+    v2, i2 = map(np.asarray, loaded.search(q, 7, nprobe=8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(v1, v2)  # f32 reload is bit-exact
+
+
+def test_sharded_ivf_int8_reload_bit_exact(rng):
+    """int8 codes and scales persist AS STORED: no dequantize->requantize
+    cycle on reload (the round-2 lossy path)."""
+    mesh = make_mesh({"db": 4})
+    pts, _ = clustered_data(rng, n_clusters=8, per_cluster=48, spread=0.5)
+    idx = ShardedIVFIndex(16, mesh, nlist=8, nprobe=8, train_iters=8,
+                          dtype="int8")
+    idx.build(pts)
+    state = idx.state_dict()
+    loaded = ShardedIVFIndex.from_state_dict(state, mesh=mesh)
+    # identical code bytes and scales, per global row id
+    def by_id(i):
+        ids = np.asarray(i._ids).reshape(-1)
+        live = ids >= 0
+        order = np.argsort(ids[live])
+        codes = np.asarray(i._vecs.reshape(-1, 16))[live][order]
+        scales = np.asarray(i._scales.reshape(-1))[live][order]
+        return codes, scales
+    c1, s1 = by_id(idx)
+    c2, s2 = by_id(loaded)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(s1, s2)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    v1, i1 = map(np.asarray, idx.search(q, 5, nprobe=8))
+    v2, i2 = map(np.asarray, loaded.search(q, 5, nprobe=8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_sharded_ivf_reload_across_mesh_sizes(rng):
+    """A 4-device save loads onto a 2-device mesh by re-striping saved rows
+    (list membership preserved, no re-assignment) with matching results."""
+    pts, _ = clustered_data(rng, n_clusters=8, per_cluster=32)
+    idx = ShardedIVFIndex(16, make_mesh({"db": 4}), nlist=8, nprobe=8,
+                          train_iters=8)
+    idx.build(pts)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    _, i1 = map(np.asarray, idx.search(q, 5, nprobe=8))
+    state = idx.state_dict()
+    loaded = ShardedIVFIndex.from_state_dict(state, mesh=make_mesh({"db": 2}))
+    assert loaded.n_dev == 2
+    _, i2 = map(np.asarray, loaded.search(q, 5, nprobe=8))
+    np.testing.assert_array_equal(i1, i2)
