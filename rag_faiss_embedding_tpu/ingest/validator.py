@@ -211,26 +211,62 @@ class DocumentValidator:
         return validated
 
     # ---------------------------------------------------------------- cli
+    def summary_stats(self, docs: List[Dict[str, Any]]) -> List[tuple]:
+        """Corpus statistics rows (reference ``display_summary``,
+        ``document_validator.py:238-253``): averages, reduction percentage,
+        extremes, and the active summarization method."""
+        n = len(docs)
+        wc = [d["metadata"]["word_count"] for d in docs]
+        avg_red = sum(
+            (d["metadata"]["original_length"] - d["metadata"]["cleaned_length"])
+            / max(d["metadata"]["original_length"], 1) * 100
+            for d in docs
+        ) / n
+        avg_sum = sum(d["metadata"]["summary_length"] for d in docs) / n
+        return [
+            ("Total Documents", str(n)),
+            ("Unique URLs", str(len({d["url"] for d in docs}))),
+            ("Average Word Count", f"{sum(wc) / n:.1f}"),
+            ("Average Content Reduction", f"{avg_red:.1f}%"),
+            ("Shortest Document", str(min(wc))),
+            ("Longest Document", str(max(wc))),
+            ("Average Summary Length", f"{avg_sum:.1f} words"),
+            ("Summarization Method", self.summarization_method),
+        ]
+
     def display_summary(self, docs: List[Dict[str, Any]]) -> None:
-        """Rich summary table (reference ``display_summary``, ``:226-270``)."""
+        """Stats table + sample preview panel (reference
+        ``display_summary``, ``document_validator.py:226-270``)."""
         try:
             from rich.console import Console
+            from rich.panel import Panel
             from rich.table import Table
         except ImportError:
-            for d in docs:
-                print(d["title"], d["metadata"]["word_count"])
+            for metric, value in (self.summary_stats(docs) if docs else []):
+                print(f"{metric}: {value}")
             return
-        table = Table(title=f"Validated {len(docs)} documents")
-        table.add_column("Title", style="cyan")
-        table.add_column("Words", justify="right")
-        table.add_column("Summary", style="white")
-        for d in docs:
-            table.add_row(
-                d["title"][:40],
-                str(d["metadata"]["word_count"]),
-                d["metadata"]["summary"][:80],
-            )
-        Console().print(table)
+        console = Console()
+        if not docs:
+            console.print("[red]No valid documents to display[/red]")
+            return
+        table = Table(title="Document Validation Summary")
+        table.add_column("Metric", justify="right", style="cyan")
+        table.add_column("Value", justify="left", style="green")
+        for metric, value in self.summary_stats(docs):
+            table.add_row(metric, value)
+        console.print("\n")
+        console.print(Panel("[bold blue]Document Validation Results[/bold blue]"))
+        console.print(table)
+        console.print("\n[bold]Sample Document Preview:[/bold]")
+        doc = docs[0]
+        console.print(Panel(
+            f"[cyan]Title:[/cyan] {doc['title']}\n"
+            f"[cyan]URL:[/cyan] {doc['url']}\n"
+            f"[cyan]Content Preview:[/cyan] "
+            f"{' '.join(doc['content'].split()[:20])}...\n"
+            f"[cyan]Summary:[/cyan] {doc['metadata']['summary']}\n"
+            f"[cyan]Word Count:[/cyan] {doc['metadata']['word_count']}"
+        ))
 
     def run(
         self,

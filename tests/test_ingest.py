@@ -139,3 +139,30 @@ def test_index_entry_counter_thread_safe():
     with ThreadPoolExecutor(max_workers=16) as ex:
         ids = list(ex.map(make, range(500)))
     assert sorted(ids) == list(range(1, 501))  # no duplicates, no gaps
+
+
+def test_validator_summary_stats_parity():
+    """Stats rows match the reference's display_summary computations
+    (document_validator.py:238-253): averages, reduction %, extremes."""
+    from rag_faiss_embedding_tpu.ingest.validator import DocumentValidator
+
+    v = DocumentValidator(summarization_method="basic")
+    docs = v.batch_validate_documents([
+        {"url": "http://a.com/x", "title": "Doc A",
+         "content": "alpha beta gamma delta epsilon zeta eta theta iota "
+                    "kappa lambda mu"},
+        {"url": "http://b.com/y", "title": "Doc B",
+         "content": "one two three four five six seven eight nine ten "
+                    "eleven twelve thirteen fourteen"},
+    ])
+    stats = dict(v.summary_stats(docs))
+    assert stats["Total Documents"] == "2"
+    assert stats["Unique URLs"] == "2"
+    assert stats["Average Word Count"] == "13.0"
+    assert stats["Shortest Document"] == "12"
+    assert stats["Longest Document"] == "14"
+    assert stats["Summarization Method"] == "basic"
+    assert stats["Average Content Reduction"].endswith("%")
+    # rendering smoke: rich path and no-docs path both run
+    v.display_summary(docs)
+    v.display_summary([])
