@@ -333,7 +333,7 @@ def main() -> None:
                           idx._sorted_scales, idx._sorted_sq, idx._sorted_ids,
                           idx._sorted_shadow)
 
-            def make_ivf(nprobe, ucap, qc):
+            def make_ivf(nprobe, ucap, qc, backend):
                 # big arrays ride as jit ARGS (closed-over constants blow the
                 # axon remote-compile body limit, HTTP 413)
                 def many(qs, cent, cent_sq, codes, scales, sq, ids, shadow,
@@ -351,6 +351,7 @@ def main() -> None:
                             union_mode=(
                                 "chunkmax" if idx.nlist > 2048 else "minrank"
                             ),
+                            backend=backend, pallas_cap=idx.pallas_cap,
                         )
                         v = jnp.where(jnp.isfinite(v), v, 0.0)
                         return acc + v.sum() + i.sum().astype(jnp.float32), None
@@ -359,6 +360,12 @@ def main() -> None:
                     return acc
                 return jax.jit(many)
 
+            # the Pallas fused union-scan backend dispatches on TPU for
+            # full-precision storage (ops/pallas_ivf.py); both backends are
+            # swept so a Pallas regression can never silently cost the
+            # headline (recall measured through the shipped CLASS per
+            # backend at identical parameters)
+            backends = ("pallas", "xla") if platform == "tpu" else ("xla",)
             sweep = {}
             best = None
             for nprobe in (16, 24):
@@ -366,22 +373,23 @@ def main() -> None:
                 qc = pick_query_chunk(nprobe, window, DIM,
                                       jnp.dtype(idx.dtype).itemsize,
                                       Q_BATCH, union_cap=ucap)
-                # recall through the shipped CLASS path (identical kernel)
-                _, pred = idx.search(qstack32[0][:RECALL_QUERIES], K,
-                                     nprobe=nprobe)
-                pred = np.asarray(pred)
-                hits = sum(len(set(p.tolist()) & set(t.tolist()))
-                           for p, t in zip(pred, truth))
-                rec = hits / truth.size
-                many = make_ivf(nprobe, ucap, qc)
-                args = fused_args + (spill if spill is not None else ())
-                per, _ = timed(many, qstack32, *args)
-                qps = Q_BATCH / per
-                sweep[str(nprobe)] = {"qps": round(qps, 1),
-                                      "recall_at_10": round(rec, 4),
-                                      "union_cap": ucap, "query_chunk": qc}
-                if rec >= 0.99 and (best is None or qps > best[1]):
-                    best = (nprobe, qps, rec)
+                for backend in backends:
+                    idx.backend = backend
+                    _, pred = idx.search(qstack32[0][:RECALL_QUERIES], K,
+                                         nprobe=nprobe)
+                    pred = np.asarray(pred)
+                    hits = sum(len(set(p.tolist()) & set(t.tolist()))
+                               for p, t in zip(pred, truth))
+                    rec = hits / truth.size
+                    many = make_ivf(nprobe, ucap, qc, backend)
+                    args = fused_args + (spill if spill is not None else ())
+                    per, _ = timed(many, qstack32, *args)
+                    qps = Q_BATCH / per
+                    sweep[f"{backend}_np{nprobe}"] = {
+                        "qps": round(qps, 1), "recall_at_10": round(rec, 4),
+                        "union_cap": ucap, "query_chunk": qc}
+                    if rec >= 0.99 and (best is None or qps > best[1]):
+                        best = (nprobe, qps, rec)
             ivf_extras["ivf_sweep"] = sweep
             ivf_extras["ivf_window"] = window
             ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)

@@ -348,9 +348,7 @@ def fused_ivf_search_math(
         qs = qp.astype(codes.dtype).reshape(steps, qc, d)
         packed = union_scan(
             qs, u_all,
-            codes.reshape(-1, window, d),
-            sorted_sq.reshape(-1, window)[:, None, :],
-            sorted_ids.reshape(-1, window)[:, None, :],
+            codes.reshape(-1, window, d), sorted_sq, sorted_ids,
             window=window, cap=pallas_cap, bb=bb, metric=metric,
             interpret=interpret,
         )

@@ -96,11 +96,11 @@ def _make_kernel(bb: int, cap: int, metric: str, nbits: int, window: int,
     mask_lo = (1 << nbits) - 1
 
     def kern(u_ref, q_ref, *refs):
-        blks = refs[:bb]                 # each (1, window, D)
-        rsqs = refs[bb:2 * bb]           # each (1, 1, window)
-        rids = refs[2 * bb:3 * bb]       # each (1, 1, window)
-        out_ref = refs[3 * bb]           # (1, QC, cap*window)
-        runs = refs[3 * bb + 1]          # scratch (cap, QC, window) int32
+        blks = refs[:bb]                 # each (1, window, D) codes
+        auxs = refs[bb:2 * bb]           # each (1, 2, window) i32:
+        #                                  row 0 = rsq bits, row 1 = rid
+        out_ref = refs[2 * bb]           # (1, QC, cap*window)
+        runs = refs[2 * bb + 1]          # scratch (cap, QC, window) int32
 
         b = pl.program_id(1)
 
@@ -114,9 +114,11 @@ def _make_kernel(bb: int, cap: int, metric: str, nbits: int, window: int,
                 q, blks[j][0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )                            # (QC, window)
-            rid = rids[j][0]             # (1, window)
+            aux = auxs[j][0]             # (2, window)
+            rid = aux[1:2, :]            # (1, window)
             if metric == "L2":
-                s = 2.0 * dots - rsqs[j][0]
+                rsq = pltpu.bitcast(aux[0:1, :], jnp.float32)
+                s = 2.0 * dots - rsq
             else:
                 s = dots
             s = jnp.where(rid >= 0, s, NEG_INF)
@@ -147,8 +149,8 @@ def union_scan(
     u_all: jax.Array,    # (chunks, U) int32 union block ids (may hold the
     #                      sentinel id nlist; U must be a multiple of bb)
     codes3: jax.Array,   # (nlist+1, window, D) block-padded storage
-    sq3: jax.Array,      # (nlist+1, 1, window) f32 row sqnorms
-    ids3: jax.Array,     # (nlist+1, 1, window) int32 row ids (-1 = dead)
+    sorted_sq: jax.Array,   # ((nlist+1)*window,) f32 row sqnorms
+    sorted_ids: jax.Array,  # ((nlist+1)*window,) int32 row ids (-1 = dead)
     *,
     window: int,
     cap: int,
@@ -170,6 +172,18 @@ def union_scan(
         lax.Precision.HIGHEST if qs.dtype == jnp.float32
         else lax.Precision.DEFAULT
     )
+    # rsq (bitcast to i32) and rid ride ONE (1, 2, window) block per list:
+    # separate refs would double the per-block descriptor DMAs (the codes
+    # DMA is large; these are ~0.5 KB each, fixed-cost bound)
+    aux3 = jnp.stack(
+        [
+            lax.bitcast_convert_type(
+                sorted_sq.astype(jnp.float32), jnp.int32
+            ).reshape(-1, window),
+            sorted_ids.reshape(-1, window),
+        ],
+        axis=1,
+    )                                    # (nlist+1, 2, window) i32
 
     in_specs = [pl.BlockSpec((1, qc, d), lambda c, b, u_pre: (c, 0, 0))]
     for j in range(bb):
@@ -178,11 +192,7 @@ def union_scan(
             lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
     for j in range(bb):
         in_specs.append(pl.BlockSpec(
-            (1, 1, window),
-            lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
-    for j in range(bb):
-        in_specs.append(pl.BlockSpec(
-            (1, 1, window),
+            (1, 2, window),
             lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -209,7 +219,7 @@ def union_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(u_all, qs, *([codes3] * bb), *([sq3] * bb), *([ids3] * bb))
+    )(u_all, qs, *([codes3] * bb), *([aux3] * bb))
 
 
 def unpack_candidates(
@@ -235,7 +245,7 @@ def unpack_candidates(
         lax.broadcasted_iota(jnp.int32, (chunks, qc, capw), 2) % window
     )
     ids = sorted_ids[blk * window + lane]
-    valid = vals > 0.5 * NEG_INF
+    valid = (vals > 0.5 * NEG_INF) & (ids >= 0)
     vals = jnp.where(valid, vals, NEG_INF)
     ids = jnp.where(valid, ids, -1)
     return vals.reshape(chunks * qc, capw), ids.reshape(chunks * qc, capw)
