@@ -253,12 +253,18 @@ class FlatIndex:
 
     # ---------------------------------------------------------------- io
     def state_dict(self) -> dict:
+        vecs = self._buf[: self.ntotal]
+        if self.dtype == jnp.bfloat16:
+            # bf16 has no npz dtype; store the raw uint16 bit pattern (a
+            # straight np.asarray of bf16 silently saves as void "|V2" and
+            # cannot reload)
+            vecs = vecs.view(jnp.uint16)
         state = {
             "kind": "flat",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
-            "vectors": np.asarray(self._buf[: self.ntotal]),
+            "vectors": np.asarray(vecs),
         }
         if self.quantized:  # lossless reload: keep codes + scales + norms
             state["scales"] = np.asarray(self._scales[: self.ntotal])
@@ -278,7 +284,14 @@ class FlatIndex:
             dtype=str(state["dtype"]),
             **kwargs,
         )
-        vecs = state["vectors"]
+        vecs = np.asarray(state["vectors"])
+        if idx.dtype == jnp.bfloat16 and vecs.dtype != np.float32:
+            # uint16 bit pattern (new format) or void "|V2" (legacy broken
+            # saves): reinterpret back to bf16, then widen for add()
+            vecs = np.asarray(
+                jnp.asarray(vecs.view(np.uint16)).view(jnp.bfloat16)
+                .astype(jnp.float32)
+            )
         if len(vecs) == 0:
             return idx
         if idx.quantized and "scales" in state:

@@ -278,12 +278,16 @@ class ShardedFlatIndex:
         # payload layout matches FlatIndex ("vectors" in insertion order), so
         # a sharded save can also be reloaded single-chip and vice versa; the
         # kind tag routes VectorStore.load_index back to a sharded instance
+        vecs = self._buf[: self.ntotal]
+        if self.dtype == jnp.bfloat16:
+            # bf16 has no npz dtype; persist the uint16 bit pattern
+            vecs = vecs.view(jnp.uint16)
         return {
             "kind": "sharded_flat",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
-            "vectors": self.vectors(),
+            "vectors": np.asarray(vecs),
         }
 
     @classmethod
@@ -308,6 +312,12 @@ class ShardedFlatIndex:
             **kwargs,
         )
         vectors = np.asarray(state["vectors"])
+        if idx.dtype == jnp.bfloat16 and vectors.dtype != np.float32:
+            # uint16 bit pattern (or legacy void "|V2"): bf16 bits -> f32
+            vectors = np.asarray(
+                jnp.asarray(vectors.view(np.uint16)).view(jnp.bfloat16)
+                .astype(jnp.float32)
+            )
         if len(vectors):
             idx.add(vectors)
         return idx

@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from rag_faiss_embedding_tpu.index import FlatIndex, VectorStore
 from .test_distance import assert_rank_match, numpy_exact
@@ -235,3 +236,23 @@ def test_recall_target_defaults():
     assert FlatIndex(16, selector="approx").recall_target == 0.99
     assert FlatIndex(16, dtype="int8", selector="rerank").recall_target == 0.99
     assert FlatIndex(16, dtype="int8", recall_target=0.9).recall_target == 0.9
+
+
+def test_bf16_flat_state_roundtrip(rng, tmp_path):
+    """bf16 storage must survive save/reload: a plain np.asarray of a bf16
+    buffer silently serializes as numpy void ("|V2") and used to crash the
+    loader; the state now persists the uint16 bit pattern losslessly."""
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    pts = rng.standard_normal((48, 16)).astype(np.float32)
+    idx = FlatIndex(16, dtype="bfloat16")
+    store = VectorStore(dimension=16, index_path=tmp_path / "bf.idx",
+                        index=idx)
+    store.add_vectors(pts, list(range(48)))
+    d1, i1 = store.search(pts[9], k=4)
+    store.save_index()
+    loaded = VectorStore(dimension=16, index_path=tmp_path / "bf.idx")
+    assert loaded.index.dtype == jnp.bfloat16
+    d2, i2 = loaded.search(pts[9], k=4)
+    assert i1 == i2
+    np.testing.assert_array_equal(d1, d2)  # bf16 bits reload exactly

@@ -311,3 +311,24 @@ def test_sharded_ivf_reload_across_mesh_sizes(rng):
     assert loaded.n_dev == 2
     _, i2 = map(np.asarray, loaded.search(q, 5, nprobe=8))
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_flat_bf16_state_roundtrip(rng, tmp_path):
+    """bf16 sharded-flat persistence: uint16 bit-pattern save, exact
+    reload (the void-dtype serialization bug also hit the sharded tier)."""
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    mesh = make_mesh({"db": 4})
+    pts = rng.standard_normal((96, 16)).astype(np.float32)
+    idx = ShardedFlatIndex(16, mesh, dtype="bfloat16")
+    store = VectorStore(dimension=16, index_path=tmp_path / "sbf.idx",
+                        index=idx)
+    store.add_vectors(pts, list(range(96)))
+    d1, i1 = store.search(pts[33], k=3)
+    store.save_index()
+    loaded = VectorStore(dimension=16, index_path=tmp_path / "sbf.idx",
+                         mesh=mesh)
+    assert isinstance(loaded.index, ShardedFlatIndex)
+    d2, i2 = loaded.search(pts[33], k=3)
+    assert i1 == i2
+    np.testing.assert_array_equal(d1, d2)
