@@ -336,7 +336,7 @@ def fused_ivf_search_math(
         # runs on-chip; only (qc, cap*window) packed candidates per chunk
         # come back. Shares this function's coarse/union head and
         # spill/finalize tail with the XLA backend.
-        from .pallas_ivf import pick_bb, union_scan, unpack_candidates
+        from .pallas_ivf import decode_topk, pick_bb, union_scan
 
         bb = pick_bb(window, d, codes.dtype.itemsize, u_all.shape[1])
         u_pad = (-u_all.shape[1]) % bb
@@ -352,10 +352,8 @@ def fused_ivf_search_math(
             window=window, cap=pallas_cap, bb=bb, metric=metric,
             interpret=interpret,
         )
-        cv, ci = unpack_candidates(packed, u_all, sorted_ids, window=window)
-        k_eff = min(k, cv.shape[1])
-        vals_p, pos = lax.top_k(cv, k_eff)   # exact: candidates are narrow
-        ids_p = jnp.take_along_axis(ci, pos, axis=1)
+        vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
+                                    window=window, k=k)
         inv = jnp.argsort(perm)
         best_v = vals_p[:nq][inv]
         best_i = ids_p[:nq][inv]

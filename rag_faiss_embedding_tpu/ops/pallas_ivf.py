@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .distance import NEG_INF
 from .pallas_scan import _monotone_i32
 
-__all__ = ["union_scan", "unpack_candidates", "pallas_eligible"]
+__all__ = ["union_scan", "decode_topk", "pallas_eligible"]
 
 # target bytes of union blocks resident per grid cell (x2 for Pallas's
 # double buffering); 16 x (128, 384) bf16 blocks ~ 1.6 MB
@@ -222,33 +222,41 @@ def union_scan(
     )(u_all, qs, *([codes3] * bb), *([aux3] * bb))
 
 
-def unpack_candidates(
+def decode_topk(
     packed: jax.Array,     # (chunks, QC, cap*window) int32 from union_scan
     u_all: jax.Array,      # (chunks, U) int32
     sorted_ids: jax.Array,  # ((nlist+1)*window,) int32
     *,
     window: int,
+    k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Decode packed candidates to (scores, global row ids), both
-    (chunks*QC, cap*window). Scores are on the internal higher-better
-    scale; invalid slots carry NEG_INF / id -1."""
+    """Exact top-k per query over the packed candidates, then decode ONLY
+    the winners. The packed int32s are order-mapped scores, so ``top_k``
+    runs on them directly; decoding (bit untwiddle, union lookup, row-id
+    gather) touches k elements per query instead of cap*window — decoding
+    the full candidate array first cost 9.7 of the path's 10 ms at the 1M
+    config (benchmarks/pallas_kernel_probe2.py).
+
+    Returns (scores, global row ids), both (chunks*QC, k), internal
+    higher-better scale; invalid slots carry NEG_INF / id -1."""
     chunks, qc, capw = packed.shape
     u = u_all.shape[1]
     nbits = max(1, int(np.ceil(np.log2(max(u, 2)))))
     mask_lo = jnp.int32((1 << nbits) - 1)
-    jglob = packed & mask_lo                       # (chunks, QC, capw)
-    vals = _unmonotone_f32(packed & ~mask_lo)
-    blk = jnp.take_along_axis(
-        u_all[:, None, :], jnp.minimum(jglob, u - 1), axis=2
-    )                                              # (chunks, QC, capw)
-    lane = (
-        lax.broadcasted_iota(jnp.int32, (chunks, qc, capw), 2) % window
-    )
+    k_eff = min(k, capw)
+    bv, pos = lax.top_k(packed.reshape(chunks * qc, capw), k_eff)
+    lane = pos % window                            # bin == slot-in-window
+    jglob = bv & mask_lo
+    chunk = lax.broadcasted_iota(
+        jnp.int32, (chunks * qc, k_eff), 0
+    ) // qc
+    blk = u_all[chunk, jnp.minimum(jglob, u - 1)]
     ids = sorted_ids[blk * window + lane]
+    vals = _unmonotone_f32(bv & ~mask_lo)
     valid = (vals > 0.5 * NEG_INF) & (ids >= 0)
     vals = jnp.where(valid, vals, NEG_INF)
     ids = jnp.where(valid, ids, -1)
-    return vals.reshape(chunks * qc, capw), ids.reshape(chunks * qc, capw)
+    return vals, ids
 
 
 def pallas_eligible(
