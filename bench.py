@@ -389,7 +389,7 @@ def main() -> None:
                         "qps": round(qps, 1), "recall_at_10": round(rec, 4),
                         "union_cap": ucap, "query_chunk": qc}
                     if rec >= 0.99 and (best is None or qps > best[1]):
-                        best = (nprobe, qps, rec)
+                        best = (nprobe, qps, rec, backend)
             ivf_extras["ivf_sweep"] = sweep
             ivf_extras["ivf_window"] = window
             ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)
@@ -397,6 +397,8 @@ def main() -> None:
                 results["ivf"] = {"qps": best[1], "batch_ms": Q_BATCH / best[1] * 1e3,
                                   "rtt_ms": 0.0}
                 recalls["ivf"] = best[2]
+                ivf_extras["ivf_best"] = {"nprobe": best[0],
+                                          "backend": best[3]}
         except Exception as e:
             print(f"# ivf variant failed: {type(e).__name__}: {e}")
 

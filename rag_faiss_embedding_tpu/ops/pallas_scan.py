@@ -60,31 +60,6 @@ def _monotone_i32(scores):
     return jnp.where(bits < 0, bits ^ jnp.int32(0x7FFFFFFF), bits)
 
 
-def _group_top1(scores, start, group: int = 128):
-    """Per-128-column-group (max value, its index): the ScaNN/approx_max_k
-    PartialReduce shape. Packs the local column id into the low bits of the
-    order-mapped score so ONE max reduction yields value and argmax together
-    (ties break toward the lower index); the exact f32 value comes from a
-    plain group max. ~3 VPU passes total, independent of k.
-
-    Global indices are affine in the column (``start + col``), so no gather
-    is needed — important inside Pallas, where vector gathers don't lower.
-    """
-    q, t = scores.shape
-    g = t // group
-    # local column id within the group, inverted so lower idx wins ties
-    col = jax.lax.broadcasted_iota(jnp.int32, (q, t), 1) % jnp.int32(group)
-    packed = (_monotone_i32(scores) & jnp.int32(~(group - 1))) | (
-        jnp.int32(group - 1) - col
-    )
-    win = jnp.max(packed.reshape(q, g, group), axis=2)    # (Q, G)
-    local = jnp.int32(group - 1) - (win & jnp.int32(group - 1))
-    base = jax.lax.broadcasted_iota(jnp.int32, (q, g), 1) * group
-    idx = start + base + local                            # global row ids
-    vals = jnp.max(scores.reshape(q, g, group), axis=2)   # exact f32 values
-    return vals, idx
-
-
 def _extract_topk(scores, gidx, k: int):
     """Iterative masked argmax: k (value, index) pairs, ties -> lowest index.
 
@@ -116,8 +91,6 @@ def _scan_kernel(
     metric: str,
     tile_n: int,
     precision,
-    mode: str = "exact",
-    group: int = 128,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -139,11 +112,7 @@ def _scan_kernel(
     gidx = start + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(gidx < n_valid_ref[0, 0], scores, NEG_INF)
 
-    if mode == "approx":
-        tile_v, tile_i = _group_top1(scores, start, group=group)
-        tile_i = jnp.where(tile_v > NEG_INF, tile_i, -1)
-    else:
-        tile_v, tile_i = _extract_topk(scores, gidx, k)
+    tile_v, tile_i = _extract_topk(scores, gidx, k)
 
     # merge running best (Q, K) with tile best (Q, K) -> top K of 2K
     cand_v = jnp.concatenate([best_v[:], tile_v], axis=1)
@@ -164,12 +133,10 @@ def _scan_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_q", "tile_n", "interpret",
-                     "mode", "group"),
+    static_argnames=("k", "metric", "tile_q", "tile_n", "interpret"),
 )
 def _flat_search_impl(
     q, db, db_sq, n_valid, *, k, metric, tile_q, tile_n, interpret,
-    mode="exact", group=128,
 ):
     nq, d = q.shape
     n = db.shape[0]
@@ -180,7 +147,6 @@ def _flat_search_impl(
     )
     kernel = functools.partial(
         _scan_kernel, k=k, metric=metric, tile_n=tile_n, precision=precision,
-        mode=mode, group=group,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -228,19 +194,19 @@ def flat_search(
     tile_q: int = DEFAULT_TILE_Q,
     tile_n: int = DEFAULT_TILE_N,
     interpret: Optional[bool] = None,
-    mode: str = "exact",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused top-k scan; same contract as ops.distance.exact_search.
+    """Fused top-k scan (rank-exact iterative masked-argmax selection);
+    same contract as ops.distance.exact_search.
 
-    mode="exact": iterative masked-argmax selection (rank-exact).
-    mode="approx": per-group packed top-1 PartialReduce (one candidate per
-    score group per tile; group sized so each tile still yields >= k
-    candidates). Recall@10 >= ~0.999 on shuffled data; ~k-fold less VPU work.
+    A per-group packed top-1 "approx" mode existed through round 2 but
+    never shipped: it lost to ``lax.approx_max_k`` at the flat tier
+    (docs/STATUS.md round-2 §3) — the flat scan is matmul-bound, so
+    cheaper selection buys little — and the slot-binned streaming design
+    that DOES win lives in the IVF union kernel (ops/pallas_ivf.py).
+    Dropped per the round-2 review (fix-or-delete).
     """
     if metric not in ("L2", "IP"):
         raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
-    if mode not in ("exact", "approx"):
-        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
     n, d = db.shape
     nq = q.shape[0]
     if db_sq is None:
@@ -262,17 +228,10 @@ def flat_search(
         db = jnp.pad(db, ((0, n_pad), (0, 0)))
         db_sq = jnp.pad(db_sq, (0, n_pad))
 
-    # approx mode: pick the group width so one tile still yields >= k
-    # candidates (G = tile_n / group >= k), power-of-two, within [8, 128]
-    group = 128
-    if mode == "approx":
-        while group > 8 and tile_n // group < max(k_eff, 8):
-            group //= 2
-
     best_v, best_i = _flat_search_impl(
         q, db, db_sq, nv,
         k=k_eff, metric=metric, tile_q=tile_q, tile_n=tile_n,
-        interpret=interpret, mode=mode, group=group,
+        interpret=interpret,
     )
     best_v, best_i = best_v[:nq], best_i[:nq]
 

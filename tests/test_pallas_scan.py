@@ -66,28 +66,10 @@ def test_pallas_agrees_with_lax_scan_bf16(rng):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-2)
 
 
-def test_pallas_approx_mode_recall(rng):
-    db = rng.standard_normal((4096, 32)).astype(np.float32)
-    q = rng.standard_normal((8, 32)).astype(np.float32)
-    vals, idx = P.flat_search(q, db, 10, metric="L2", tile_q=8, tile_n=512,
-                              interpret=True, mode="approx")
-    _, truth = numpy_exact(q, db, 10, "L2")
-    idx = np.asarray(idx)
-    recall = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
-                      for a, b in zip(idx, truth)])
-    assert recall >= 0.95, recall
-    # returned values are the exact distances of the returned ids
-    for qi in range(2):
-        for j, i in enumerate(idx[qi]):
-            expected = ((q[qi] - db[i]) ** 2).sum()
-            np.testing.assert_allclose(np.asarray(vals)[qi, j], expected,
-                                       rtol=1e-3)
-
-
-def test_pallas_approx_masks_invalid(rng):
+def test_pallas_masks_invalid(rng):
     db = rng.standard_normal((700, 16)).astype(np.float32)
     dbp = np.concatenate([db, 1e6 * np.ones((324, 16), np.float32)])
     q = rng.standard_normal((4, 16)).astype(np.float32)
     _, idx = P.flat_search(q, dbp, 5, metric="L2", n_valid=700,
-                           tile_q=8, tile_n=256, interpret=True, mode="approx")
+                           tile_q=8, tile_n=256, interpret=True)
     assert (np.asarray(idx) < 700).all()
