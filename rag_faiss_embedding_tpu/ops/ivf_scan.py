@@ -538,7 +538,12 @@ def fused_ivf_search(
     if backend != "xla":
         from .pallas_ivf import pallas_eligible
 
-        platform = jax.devices()[0].platform
+        # decide from where the index actually lives (a registered TPU
+        # plugin may own jax.devices() while the arrays are on CPU)
+        try:
+            platform = next(iter(codes.devices())).platform
+        except Exception:
+            platform = jax.devices()[0].platform
         # small batches pad up to the kernel's minimum chunk (bf16 sublane
         # tiling needs >= 16 query rows; replica padding costs nothing)
         qc_pallas = max(qc, 16)

@@ -91,6 +91,7 @@ def _build_sharded_fused(
     nprobe: int, union_cap: int, qc: int, recall_target: float,
     quantized: bool, has_spill: bool, has_pending: bool,
     union_mode: str = "minrank", metric: str = "L2",
+    backend: str = "xla", interpret: bool = False,
 ):
     n_tiers = has_spill + has_pending
 
@@ -101,6 +102,7 @@ def _build_sharded_fused(
             k=k, nprobe=nprobe, window=window, metric=metric,
             recall_target=recall_target, union_cap=union_cap, qc=qc,
             union_mode=union_mode,
+            backend=backend, interpret=interpret,
         )
         parts = [(vals, gids)]
         rest = list(tiers)
@@ -157,6 +159,7 @@ class ShardedIVFIndex:
         train_iters: int = 20,
         seed: int = 0,
         union_cap: Optional[int] = None,
+        backend: str = "auto",
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -174,6 +177,13 @@ class ShardedIVFIndex:
         self.train_iters = train_iters
         self.seed = seed
         self.union_cap = union_cap
+        # per-device chunk-stage backend: "auto" uses the Pallas union-scan
+        # kernel when eligible (real TPU mesh, full-precision storage,
+        # 128-aligned shapes — single-chip parity with index/ivf.py);
+        # "pallas" forces it (interpret mode off-TPU, for tests)
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"bad backend {backend!r}")
+        self.backend = backend
         self.recall_target = 0.995 if self.quantized else 0.99
         self.window_quantile = 0.98  # single-chip parity (index/ivf.py)
         self.rebuild_threshold = 0.25
@@ -439,13 +449,28 @@ class ShardedIVFIndex:
             nprobe, self._window, self.dim, self.dtype.itemsize, nq,
             union_cap=union_cap,
         )
+        backend, interpret = "xla", False
+        if self.backend != "xla":
+            from ..ops.pallas_ivf import pallas_eligible
+
+            # the MESH decides the platform (a registered TPU plugin may own
+            # jax.devices() while this index lives on a virtual CPU mesh)
+            platform = self.mesh.devices.flat[0].platform
+            if pallas_eligible(
+                platform=platform, quantized=self.quantized,
+                window=self._window, dim=self.dim, qc=max(qc, 16),
+                shadow=None, interpret=self.backend == "pallas",
+            ):
+                backend = "pallas"
+                qc = max(qc, 16)
+                interpret = platform != "tpu"
         fn = _build_sharded_fused(
             self.mesh, k, self._window, self.db_axis,
             nprobe, union_cap, qc, self.recall_target,
             self.quantized, self._spill is not None,
             self._pending_dev is not None,
             union_mode="chunkmax" if self.nlist > 2048 else "minrank",
-            metric=self.metric,
+            metric=self.metric, backend=backend, interpret=interpret,
         )
         scales = (
             self._scales if self.quantized

@@ -332,3 +332,24 @@ def test_sharded_flat_bf16_state_roundtrip(rng, tmp_path):
     d2, i2 = loaded.search(pts[33], k=3)
     assert i1 == i2
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_sharded_ivf_pallas_backend_parity(rng):
+    """The Pallas union-scan kernel runs per device under shard_map
+    (forced interpret off-TPU): results match the XLA backend on the same
+    built index."""
+    pts, _ = clustered_data(rng, n_clusters=8, per_cluster=64)
+    dim = 16
+    # pallas eligibility needs dim % 128 == 0: widen by tiling columns
+    pts = np.tile(pts, (1, 8)).astype(np.float32)
+    idx = ShardedIVFIndex(128, make_mesh({"db": 4}), nlist=8, nprobe=8,
+                          train_iters=8)
+    idx.build(pts)
+    q = rng.standard_normal((16, 128)).astype(np.float32)
+    idx.backend = "xla"
+    vx, ix = map(np.asarray, idx.search(q, 5, nprobe=8))
+    idx.backend = "pallas"
+    vp, ip_ = map(np.asarray, idx.search(q, 5, nprobe=8))
+    np.testing.assert_array_equal(ix, ip_)
+    live = ip_ >= 0
+    np.testing.assert_allclose(vp[live], vx[live], rtol=1e-3, atol=1e-3)
