@@ -18,7 +18,21 @@ import time
 from typing import List, Optional
 
 
-async def _drive(post, queries: List[str], concurrency: int, total: int):
+async def _drive(post, queries: List[str], concurrency: int, total: int,
+                 warmup: int = 0):
+    if warmup:
+        # Steady-state protocol: the batcher coalesces 1..max_batch queries
+        # and each embed/scan bucket JIT-compiles on first sight (10-60 s
+        # through the axon tunnel) — drive full-concurrency bursts until
+        # every bucket shape has compiled before timing anything.
+        sem_w = asyncio.Semaphore(concurrency)
+
+        async def warm_one(i: int):
+            async with sem_w:
+                await post(queries[i % len(queries)])
+
+        await asyncio.gather(*[warm_one(i) for i in range(warmup)])
+
     latencies: List[float] = []
     sem = asyncio.Semaphore(concurrency)
     t_start = time.perf_counter()
@@ -43,7 +57,8 @@ async def _drive(post, queries: List[str], concurrency: int, total: int):
     }
 
 
-async def run_inprocess(small: bool, concurrency: int, total: int) -> dict:
+async def run_inprocess(small: bool, concurrency: int, total: int,
+                        warmup: int = 0) -> dict:
     from aiohttp.test_utils import TestClient, TestServer
 
     from rag_faiss_embedding_tpu.core import Config
@@ -101,7 +116,7 @@ async def run_inprocess(small: bool, concurrency: int, total: int) -> dict:
             return await resp.json()
 
         await post(queries[0])  # warm compile
-        return await _drive(post, queries, concurrency, total)
+        return await _drive(post, queries, concurrency, total, warmup=warmup)
     finally:
         await client.close()
         db.close()
@@ -112,7 +127,8 @@ async def run_inprocess(small: bool, concurrency: int, total: int) -> dict:
                 pass
 
 
-async def run_remote(url: str, concurrency: int, total: int) -> dict:
+async def run_remote(url: str, concurrency: int, total: int,
+                     warmup: int = 0) -> dict:
     import aiohttp
 
     async with aiohttp.ClientSession() as session:
@@ -126,7 +142,7 @@ async def run_remote(url: str, concurrency: int, total: int) -> dict:
                 return await resp.json()
 
         await post(queries[0])
-        return await _drive(post, queries, concurrency, total)
+        return await _drive(post, queries, concurrency, total, warmup=warmup)
 
 
 def main() -> None:
@@ -135,12 +151,15 @@ def main() -> None:
     parser.add_argument("--small", action="store_true")
     parser.add_argument("--concurrency", type=int, default=32)
     parser.add_argument("--requests", type=int, default=300)
+    parser.add_argument("--warmup", type=int, default=0,
+                        help="untimed full-concurrency requests first")
     args = parser.parse_args()
     if args.url:
-        result = asyncio.run(run_remote(args.url, args.concurrency, args.requests))
+        result = asyncio.run(run_remote(args.url, args.concurrency,
+                                        args.requests, warmup=args.warmup))
     else:
         result = asyncio.run(run_inprocess(args.small, args.concurrency,
-                                           args.requests))
+                                           args.requests, warmup=args.warmup))
     result["metric"] = "serve_search_qps"
     result["value"] = result["qps"]
     result["unit"] = "qps"

@@ -38,6 +38,7 @@ position->doc-id mapping works unchanged across flat and IVF tiers.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -264,6 +265,9 @@ class IVFFlatIndex:
             raise ValueError(f"bad backend {backend!r}")
         self.backend = backend
         self.pallas_cap = int(pallas_cap)
+        # stage timings of the last train/build (profiling; see
+        # benchmarks/build_profile.py)
+        self.build_stats: dict = {}
 
     # ------------------------------------------------------------- building
     @property
@@ -290,12 +294,15 @@ class IVFFlatIndex:
                          max_train, vecs.shape[0])
         else:
             train_vecs = vecs
+        kstats: dict = {}
         self.centroids, _, bias = train_kmeans(
             train_vecs, self.nlist, n_iters=self.train_iters,
             seed=self.seed, spherical=(self.metric == "IP"),
             balance_weight=self.balance_weight, return_bias=True,
+            stats=kstats,
         )
         self._assign_bias = bias if self.balance_weight else None
+        t0 = time.perf_counter()
         if self.nlist >= 64:
             # relabel lists spatially so the fused kernel's cell-sorted
             # query chunks share probe lists (ops/kmeans.spatial_order)
@@ -305,6 +312,8 @@ class IVFFlatIndex:
             self.centroids = self.centroids[order]
             if self._assign_bias is not None:
                 self._assign_bias = self._assign_bias[order]
+        kstats["relabel_s"] = time.perf_counter() - t0
+        self.build_stats["train"] = kstats
         self.is_trained = True
 
     def _reassign_cap(self, mean_len: float) -> int:
@@ -326,10 +335,14 @@ class IVFFlatIndex:
         argsort, slot scatter (int32 scalars), one block gather — with one
         tiny lengths sync for the window decision.
         """
+        t_start = time.perf_counter()
         vecs_f32 = jnp.asarray(vectors, jnp.float32)
         n = vecs_f32.shape[0]
         if not self.is_trained:
             self.train(vecs_f32)
+        bstats = self.build_stats
+        bstats["train_s"] = time.perf_counter() - t_start
+        t0 = time.perf_counter()
         nlist = self.nlist
         if self.balance == "reassign":
             # capacity-capped assignment: overflow rows fall back to their
@@ -341,8 +354,13 @@ class IVFFlatIndex:
                 vecs_f32, self.centroids, self.reassign_choices,
                 metric=self.metric, bias=self._assign_bias,
             )
+            jax.block_until_ready((choices, cvals))
+            bstats["assign_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             choices_np = np.asarray(choices)
             pref = np.asarray(cvals)
+            bstats["fetch_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             if self.metric == "IP":
                 pref = -pref  # lexsort wants ascending preference
             cap = self._reassign_cap(n / nlist)
@@ -363,6 +381,7 @@ class IVFFlatIndex:
                 assign_np[assign_np >= 0], minlength=nlist
             ).astype(np.int64)
             window = int(_round_up(max(int(lengths_np.max()), 1), 128))
+            bstats["balance_s"] = time.perf_counter() - t0
         else:
             # point-chunked assignment: a full (N, nlist) score matrix is
             # 16 GB at 1M x 4096
@@ -370,6 +389,8 @@ class IVFFlatIndex:
                                            metric=self.metric,
                                            bias=self._assign_bias)
             assignments = assignments.astype(jnp.int32)
+            bstats["assign_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             lengths_np = np.asarray(
                 jnp.bincount(assignments, length=nlist)
             ).astype(np.int64)
@@ -385,6 +406,7 @@ class IVFFlatIndex:
             window = cap if cap < max_len else int(_round_up(max_len, 128))
 
         # ---- block-padded scatter (device): every list owns `window` slots
+        t0 = time.perf_counter()
         order = jnp.argsort(assignments, stable=True)
         a_sorted = assignments[order]
         sorted_f32 = vecs_f32[order]
@@ -434,6 +456,9 @@ class IVFFlatIndex:
         )
 
         # ---- spill rows (rank >= window, or sentinel list) -> exact tier
+        jax.block_until_ready(padded_codes)
+        bstats["scatter_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         self._pending.reset()
         self._pending_rowids = np.zeros((0,), np.int32)
         self._pending_rowids_dev = None
@@ -484,6 +509,8 @@ class IVFFlatIndex:
         self._window = window
         self._n_built = n - n_spill
         self._next_id = n
+        bstats["finalize_s"] = time.perf_counter() - t0
+        bstats["total_s"] = time.perf_counter() - t_start
         logger.info(
             "built IVF: n=%d nlist=%d window=%d spill=%d",
             n, nlist, window, n_spill,

@@ -218,6 +218,7 @@ def train_kmeans(
     spherical: bool = False,
     balance_weight: float = 0.0,
     return_bias: bool = False,
+    stats: Optional[dict] = None,
 ) -> Tuple[jax.Array, ...]:
     """Lloyd k-means with k-means++ init.
 
@@ -244,6 +245,8 @@ def train_kmeans(
     after every update and assignment maximizes the inner product, so the
     partition matches the IP coarse-probe rule at query time.
     """
+    import time as _time
+
     x = jnp.asarray(x)
     n, d = x.shape
     if nlist > n:
@@ -252,6 +255,7 @@ def train_kmeans(
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     max_init = init_sample * nlist
+    t0 = _time.perf_counter()
     if n > max_init:
         sample = x[jax.random.permutation(sub, n)[:max_init]]
     else:
@@ -259,14 +263,23 @@ def train_kmeans(
     centroids = _kmeanspp_init(sample, nlist, key)
     if spherical:
         centroids = _normalize_rows(centroids)
+    centroids.block_until_ready()
+    if stats is not None:
+        stats["init_s"] = _time.perf_counter() - t0
+        stats["assign_s"] = stats["update_s"] = stats["host_s"] = 0.0
+        stats["iters"] = 0
 
     bias = jnp.zeros((nlist,), jnp.float32) if balance_weight else None
     target = n / nlist
     prev_obj = jnp.inf
     for it in range(n_iters):
+        t0 = _time.perf_counter()
         assignments, dists = assign(x, centroids, metric=metric, bias=bias)
         obj = float(dists.mean()) * (-1.0 if spherical else 1.0)
+        t1 = _time.perf_counter()
         new_centroids, counts = _update_step(x, assignments, nlist)
+        counts.block_until_ready()
+        t2 = _time.perf_counter()
         # Rebalance by RELOCATION: clusters over 2x the target size donate
         # splits — centroids of the smallest clusters are re-seeded at
         # member points of the overfull ones (FAISS's split-largest policy,
@@ -347,6 +360,11 @@ def train_kmeans(
             step = jnp.clip(counts / target - 1.0, -1.0, 1.0)
             bias = 0.9 * bias + (balance_weight * scale) * step
             bias = bias - bias.min()  # pure shift; keeps prices >= 0
+        if stats is not None:
+            stats["assign_s"] += t1 - t0
+            stats["update_s"] += t2 - t1
+            stats["host_s"] += _time.perf_counter() - t2
+            stats["iters"] = it + 1
         if verbose:
             logger.info("kmeans iter %d: obj=%.5f tiny=%d", it, obj, n_tiny)
         if bias is None and n_tiny == 0 and (

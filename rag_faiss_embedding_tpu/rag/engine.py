@@ -77,9 +77,22 @@ class QueryEngine:
 
     def search_batch(self, queries: List[str], top_k: int = 5) -> List[List[Dict]]:
         """Batched variant for the API server: one TPU forward + one scan
-        for the whole batch (no reference analog — it loops one by one)."""
+        for the whole batch (no reference analog — it loops one by one).
+
+        The query rows are padded to a power-of-two bucket before the scan:
+        the micro-batcher coalesces 1..max_batch requests, and an unpadded
+        batch dimension would JIT-compile one scan program per coalesced
+        size (measured: 15 s serving p99 from in-run compiles; ~6 bucket
+        shapes cap it)."""
+        import numpy as np
+
         embs = self.embedder.generate_embeddings(queries)
+        nq = embs.shape[0]
+        bucket = 1 << max(nq - 1, 0).bit_length()
+        if bucket > nq:
+            embs = np.pad(embs, ((0, bucket - nq), (0, 0)))
         dists, ids = self.vector_store.search(embs, top_k)
+        dists, ids = dists[:nq], ids[:nq]
         out = []
         for row_d, row_ids in zip(dists, ids):
             docs = self.db.get_documents_by_ids(row_ids)
