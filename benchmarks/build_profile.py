@@ -26,6 +26,10 @@ def main() -> None:
     p.add_argument("--nlist", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--train-iters", type=int, default=10)
+    p.add_argument("--warm", action="store_true",
+                   help="rebuild once more in-process (no compiles)")
+    p.add_argument("--recall", action="store_true",
+                   help="recall@10 @ nprobe=16 through the shipped search")
     args = p.parse_args()
 
     import jax
@@ -58,6 +62,55 @@ def main() -> None:
 
     stats = dict(idx.build_stats)
     train = stats.pop("train", {})
+
+    recall = None
+    if args.recall:
+        # recall@10 through the SHIPPED search at the bench parameters —
+        # build-path changes (seeding, relabeling, balance) can silently
+        # cost recall, so the profile carries its own gate check
+        from rag_faiss_embedding_tpu.ops import distance as dist_ops
+
+        nq, k, nprobe = 1024, 10, 16
+
+        @jax.jit
+        def gen_q(k_, db_):
+            ks, kn = jax.random.split(k_)
+            src = jax.random.randint(ks, (nq,), 0, db_.shape[0])
+            noise = jax.random.normal(kn, (nq, dim), jnp.float32)
+            return db_[src] + 0.3 * noise
+
+        q = gen_q(jax.random.PRNGKey(1), db)
+        _, truth = dist_ops.exact_search(q, db, k, metric="L2",
+                                         chunk_size=524288)
+        _, pred = idx.search(q, k, nprobe=nprobe)
+        import numpy as np
+
+        truth, pred = np.asarray(truth), np.asarray(pred)
+        hits = sum(len(set(p.tolist()) & set(t.tolist()))
+                   for p, t in zip(pred, truth))
+        recall = round(hits / truth.size, 4)
+
+    warm = None
+    if args.warm:
+        # second build in the same process re-uses every compiled program:
+        # separates remote-compile cost (10-60 s/shape through the axon
+        # tunnel, paid once) from the steady-state build pipeline
+        idx2 = IVFFlatIndex(dim, nlist=nlist, dtype=args.dtype,
+                            train_iters=args.train_iters,
+                            balance="reassign")
+        t0 = time.perf_counter()
+        idx2.build(db)
+        warm_total = time.perf_counter() - t0
+        wstats = dict(idx2.build_stats)
+        wtrain = wstats.pop("train", {})
+        warm = {
+            "vectors_per_s": round(n / warm_total, 1),
+            "total_s": round(warm_total, 2),
+            "stages_s": {k: round(v, 3) for k, v in wstats.items()
+                         if isinstance(v, float)},
+            "train_stages_s": {k: round(v, 3) if isinstance(v, float) else v
+                               for k, v in wtrain.items()},
+        }
     out = {
         "metric": "ivf_build_vectors_per_s",
         "value": round(n / total, 1),
@@ -72,6 +125,8 @@ def main() -> None:
         "train_stages_s": {k: round(v, 3) if isinstance(v, float) else v
                            for k, v in train.items()},
         "platform": platform,
+        **({"recall_at_10_np16": recall} if recall is not None else {}),
+        **({"warm": warm} if warm else {}),
     }
     print(json.dumps(out))
 

@@ -141,6 +141,34 @@ def _update_step(x, assignments, nlist):
     return centroids, counts
 
 
+# Relocation/reseed scatters use FIXED-size padded index vectors: the number
+# of donors/empties varies per Lloyd iteration, and a fresh operand shape
+# means a fresh XLA program — measured ~98 s of the 1M x 8192 cold build was
+# recompiling these scatters every iteration (benchmarks/build_profile.py).
+# Pads point out of bounds and are dropped by the scatter.
+_MAX_MOVES = 256
+
+
+def _pad_idx(idx, fill: int) -> jax.Array:
+    out = np.full((_MAX_MOVES,), fill, np.int32)
+    out[: len(idx)] = np.asarray(idx, np.int32)[:_MAX_MOVES]
+    return jnp.asarray(out)
+
+
+@jax.jit
+def _scatter_rows(cents, x, dest, src):
+    rows = x[src].astype(jnp.float32)
+    return cents.at[dest].set(rows, mode="drop")
+
+
+@jax.jit
+def _reseed_rows(cents, x, weight, dest, key):
+    picks = jax.random.categorical(
+        key, jnp.log(weight), shape=(_MAX_MOVES,)
+    )
+    return cents.at[dest].set(x[picks].astype(jnp.float32), mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("nlist",))
 def _kmeanspp_init(x: jax.Array, nlist: int, key: jax.Array) -> jax.Array:
     """k-means++ seeding: each next centroid sampled with prob ∝ squared
@@ -168,6 +196,33 @@ def _kmeanspp_init(x: jax.Array, nlist: int, key: jax.Array) -> jax.Array:
     return cents
 
 
+def _numpy_kmeans(
+    x: np.ndarray, k: int, n_iters: int = 8, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Small host-side Lloyd (for relabeling-scale inputs only): random
+    distinct seeds + argmin over a full (n, k) score matrix per iteration.
+    Empty clusters re-seed from the farthest points."""
+    rs = np.random.RandomState(seed)
+    n = len(x)
+    cents = x[rs.choice(n, size=k, replace=False)].copy()
+    assign = np.zeros(n, np.int64)
+    for _ in range(n_iters):
+        # argmin_j |x-c_j|^2 == argmin_j (|c_j|^2 - 2 x.c_j)
+        score = x @ cents.T
+        score = 2.0 * score - (cents * cents).sum(1)[None, :]
+        assign = score.argmax(1)
+        d2 = (x * x).sum(1) - score[np.arange(n), assign]
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        empty = np.nonzero(~nonempty)[0]
+        if len(empty):
+            cents[empty] = x[np.argsort(-d2)[: len(empty)]]
+    return cents, assign
+
+
 def spatial_order(
     centroids: np.ndarray | jax.Array, group: int = 16, seed: int = 0
 ) -> np.ndarray:
@@ -188,9 +243,10 @@ def spatial_order(
     if nlist <= group:
         return np.arange(nlist)
     nsuper = max(2, nlist // group)
-    super_c, super_a = train_kmeans(c, nsuper, n_iters=8, seed=seed)
-    super_c = np.asarray(super_c)
-    super_a = np.asarray(super_a)
+    # host numpy Lloyd: the inputs are tiny (nlist x D), and a device
+    # k-means here compiled 2-3 one-off XLA programs (~13 s of the cold
+    # 1M build through the remote-compile tunnel) to save milliseconds
+    super_c, super_a = _numpy_kmeans(c, nsuper, n_iters=8, seed=seed)
     mu = c.mean(0)
     x = c - mu
     v = x[0] + 1e-3  # power iteration for the first principal axis
@@ -215,6 +271,7 @@ def train_kmeans(
     tol: float = 1e-4,
     verbose: bool = False,
     init_sample: int = 64,
+    seed_sample: int = 16,
     spherical: bool = False,
     balance_weight: float = 0.0,
     return_bias: bool = False,
@@ -260,7 +317,21 @@ def train_kmeans(
         sample = x[jax.random.permutation(sub, n)[:max_init]]
     else:
         sample = x
-    centroids = _kmeanspp_init(sample, nlist, key)
+    # The ++ pass is a SEQUENTIAL nlist-step loop that re-reads its whole
+    # sample every step (O(nlist * sample * D) HBM traffic — 9 s of the
+    # warm 1M x 8192 build at 64 pts/centroid). Seeding only needs enough
+    # points to keep distinct clusters represented; 16/centroid quarters
+    # the traffic and Lloyd refines on the full training sample.
+    max_seed = seed_sample * nlist
+    if sample.shape[0] > max_seed:
+        if n > max_init:
+            seed_set = sample[:max_seed]  # sample is already shuffled
+        else:
+            sub2 = jax.random.fold_in(key, 7)
+            seed_set = sample[jax.random.permutation(sub2, n)[:max_seed]]
+    else:
+        seed_set = sample
+    centroids = _kmeanspp_init(seed_set, nlist, key)
     if spherical:
         centroids = _normalize_rows(centroids)
     centroids.block_until_ready()
@@ -314,7 +385,7 @@ def train_kmeans(
                 moves_d, moves_p = [], []
                 di = 0
                 for b, nd in zip(over, need):
-                    take = int(min(nd, len(donors) - di))
+                    take = int(min(nd, len(donors) - di, _MAX_MOVES - di))
                     if take <= 0:
                         break
                     lo, hi = np.searchsorted(a_sorted_np, [b, b + 1])
@@ -326,22 +397,20 @@ def train_kmeans(
                     di += take
                 if moves_d:
                     n_tiny = len(moves_d)
-                    new_centroids = new_centroids.at[
-                        jnp.asarray(moves_d)
-                    ].set(x[jnp.asarray(moves_p)].astype(jnp.float32))
+                    new_centroids = _scatter_rows(
+                        new_centroids, x,
+                        _pad_idx(moves_d, nlist), _pad_idx(moves_p, 0),
+                    )
         # empty clusters (no donor role possible): k-means++-style reseed
-        empty_np = np.nonzero(counts_np < 0.5)[0]
+        empty_np = np.nonzero(counts_np < 0.5)[0][:_MAX_MOVES]
         if len(empty_np):
             weight = (
                 jnp.maximum(2.0 - 2.0 * dists, 1e-30) if spherical
                 else jnp.maximum(dists, 1e-30)
             )
             sub = jax.random.fold_in(key, 1000 + it)
-            picks = jax.random.categorical(
-                sub, jnp.log(weight), shape=(len(empty_np),)
-            )
-            new_centroids = new_centroids.at[jnp.asarray(empty_np)].set(
-                x[picks].astype(jnp.float32)
+            new_centroids = _reseed_rows(
+                new_centroids, x, weight, _pad_idx(empty_np, nlist), sub
             )
             n_tiny += len(empty_np)
         if spherical:
