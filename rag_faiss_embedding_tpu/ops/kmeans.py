@@ -199,12 +199,22 @@ def _kmeanspp_init(x: jax.Array, nlist: int, key: jax.Array) -> jax.Array:
 def _numpy_kmeans(
     x: np.ndarray, k: int, n_iters: int = 8, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Small host-side Lloyd (for relabeling-scale inputs only): random
-    distinct seeds + argmin over a full (n, k) score matrix per iteration.
-    Empty clusters re-seed from the farthest points."""
+    """Small host-side Lloyd (for relabeling-scale inputs only): k-means++
+    seeding + argmin over a full (n, k) score matrix per iteration. Empty
+    clusters re-seed from the farthest points."""
     rs = np.random.RandomState(seed)
     n = len(x)
-    cents = x[rs.choice(n, size=k, replace=False)].copy()
+    # k-means++: next seed sampled with prob ∝ squared distance to the
+    # nearest chosen seed (random init merges nearby true clusters, which
+    # Lloyd cannot split — same reason the device path seeds with ++)
+    cents = np.empty((k, x.shape[1]), x.dtype)
+    cents[0] = x[rs.randint(n)]
+    d2 = ((x - cents[0]) ** 2).sum(1)
+    for j in range(1, k):
+        p = np.maximum(d2, 1e-30)
+        cents[j] = x[rs.choice(n, p=p / p.sum())]
+        d2 = np.minimum(d2, ((x - cents[j]) ** 2).sum(1))
+    cents = cents.copy()
     assign = np.zeros(n, np.int64)
     for _ in range(n_iters):
         # argmin_j |x-c_j|^2 == argmin_j (|c_j|^2 - 2 x.c_j)
@@ -321,8 +331,15 @@ def train_kmeans(
     # sample every step (O(nlist * sample * D) HBM traffic — 9 s of the
     # warm 1M x 8192 build at 64 pts/centroid). Seeding only needs enough
     # points to keep distinct clusters represented; 16/centroid quarters
-    # the traffic and Lloyd refines on the full training sample.
-    max_seed = seed_sample * nlist
+    # the traffic and Lloyd refines on the full training sample. The 4096
+    # floor keeps SMALL builds on full-quality seeding: at nlist within a
+    # few x of the true cluster count, a merged seed pair is ~2x the target
+    # list size — under the donate threshold — so Lloyd cannot split it and
+    # the seeding noise of a tiny sample becomes a permanent recall cost
+    # (measured: 16 lists / 2048 pts, 16/centroid seeding never reached the
+    # full-sample objective across 8 seeds; at nlist=8192 recall is
+    # unchanged and seeding is 4x cheaper).
+    max_seed = max(seed_sample * nlist, 4096)
     if sample.shape[0] > max_seed:
         if n > max_init:
             seed_set = sample[:max_seed]  # sample is already shuffled
