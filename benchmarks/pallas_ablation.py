@@ -1,10 +1,10 @@
-"""On-chip ablation: Pallas kernel (exact/approx) vs the XLA scan paths.
+"""On-chip ablation: Pallas exact kernel vs the XLA scan paths.
 
 Uses the same amortized honest protocol as bench.py (REPS batches inside one
 jit returning a checksum; on-device data; RTT subtracted). Run ONLY on a
 quiet TPU:
 
-    python -m benchmarks.pallas_ablation [pallas_exact|pallas_approx|lax_exact|lax_approx ...]
+    python -m benchmarks.pallas_ablation [pallas_exact|lax_exact|lax_approx ...]
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ def main() -> None:
     from rag_faiss_embedding_tpu.ops import distance as dist_ops
     from rag_faiss_embedding_tpu.ops import pallas_scan
 
-    variants = sys.argv[1:] or ["pallas_approx", "lax_approx", "pallas_exact"]
+    variants = sys.argv[1:] or ["lax_approx", "pallas_exact"]
     key = jax.random.PRNGKey(0)
     db = jax.jit(lambda k: jax.random.normal(k, (N, D), jnp.bfloat16))(key)
     qstack = jax.jit(
@@ -44,13 +44,12 @@ def main() -> None:
         # closed-over concrete array becomes an HLO constant and the tunnel's
         # remote-compile endpoint rejects the ~GB payload (HTTP 413).
         if variant.startswith("pallas"):
-            mode = "approx" if variant.endswith("approx") else "exact"
-
+            # the packed-group approx mode was dropped (lost to XLA
+            # approx_max_k at the flat tier); only the exact kernel remains
             def one(q, db_a, sq_a):
                 return pallas_scan._flat_search_impl(
                     q, db_a, sq_a, nv, k=K, metric="L2",
-                    tile_q=TILE_Q, tile_n=TILE_N, interpret=False, mode=mode,
-                    group=128,
+                    tile_q=TILE_Q, tile_n=TILE_N, interpret=False,
                 )
         else:
             selector = "approx" if variant.endswith("approx") else "exact"

@@ -9,7 +9,7 @@ under-reporting 8x — the docs/PERF.md pitfall).
   kernel3d   union_scan fed 3-D-born codes (as v1, but CSE-proof)
   kernel2d   union_scan fed a 2-D codes array reshaped in-jit (tests the
              operand layout-copy theory for the 1.6 GB codes buffer)
-  unpack     unpack_candidates + exact top-k on synthetic packed data
+  decode     decode_topk (top-k on packed + winners-only decode)
   fused_pl   full fused_ivf_search_math backend="pallas"
   fused_xla  full fused_ivf_search_math backend="xla" (reference point)
 
@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from rag_faiss_embedding_tpu.ops.ivf_scan import fused_ivf_search_math
-from rag_faiss_embedding_tpu.ops.pallas_ivf import union_scan, unpack_candidates
+from rag_faiss_embedding_tpu.ops.pallas_ivf import union_scan, decode_topk
 
 NLIST, WINDOW, DIM = 8192, 256, 384
 QC, U, BB, CAP, K = 256, 260, 10, 2, 10
@@ -101,9 +101,7 @@ def kernel2d(qs_all, u_base, codes2, sorted_sq, sorted_ids):
 @jax.jit
 def unpack_stage(packed_all, u_base, sorted_ids):
     def body(acc, packed):
-        cv, ci = unpack_candidates(packed, u_base, sorted_ids, window=WINDOW)
-        bv, pos = lax.top_k(cv, K)
-        bi = jnp.take_along_axis(ci, pos, axis=1)
+        bv, bi = decode_topk(packed, u_base, sorted_ids, window=WINDOW, k=K)
         return acc + bv.sum() + bi.sum().astype(jnp.float32), None
     acc, _ = lax.scan(body, jnp.float32(0.0), packed_all)
     return acc
@@ -131,7 +129,7 @@ def make_fused(backend):
 variants = [
     ("kernel3d", kernel3d, (qs_all, u_base, codes3, sorted_sq, sorted_ids)),
     ("kernel2d", kernel2d, (qs_all, u_base, codes2, sorted_sq, sorted_ids)),
-    ("unpack", unpack_stage, (packed_all, u_base, sorted_ids)),
+    ("decode", unpack_stage, (packed_all, u_base, sorted_ids)),
     ("fused_pl", make_fused("pallas"),
      (qf_all, cent, cent_sq, codes2, sorted_sq, sorted_ids)),
     ("fused_xla", make_fused("xla"),

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..core.logging import get_logger
 from ..ops import distance as dist_ops
+from . import codec
 
 logger = get_logger(__name__)
 
@@ -253,27 +254,19 @@ class FlatIndex:
 
     # ---------------------------------------------------------------- io
     def state_dict(self) -> dict:
-        vecs = self._buf[: self.ntotal]
-        if self.dtype == jnp.bfloat16:
-            # bf16 has no npz dtype; store the raw uint16 bit pattern (a
-            # straight np.asarray of bf16 silently saves as void "|V2" and
-            # cannot reload)
-            vecs = vecs.view(jnp.uint16)
+        vecs = codec.to_host(self._buf[: self.ntotal])
         state = {
             "kind": "flat",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
-            "vectors": np.asarray(vecs),
+            "vectors": vecs,
         }
         if self.quantized:  # lossless reload: keep codes + scales + norms
             state["scales"] = np.asarray(self._scales[: self.ntotal])
             state["sqnorms"] = np.asarray(self._sq[: self.ntotal])
             if self._shadow is not None:
-                # bf16 has no npz dtype; store the raw uint16 bit pattern
-                state["shadow"] = np.asarray(
-                    self._shadow[: self.ntotal].view(jnp.uint16)
-                )
+                state["shadow"] = codec.to_host(self._shadow[: self.ntotal])
         return state
 
     @classmethod
@@ -286,12 +279,10 @@ class FlatIndex:
         )
         vecs = np.asarray(state["vectors"])
         if idx.dtype == jnp.bfloat16 and vecs.dtype != np.float32:
-            # uint16 bit pattern (new format) or void "|V2" (legacy broken
-            # saves): reinterpret back to bf16, then widen for add()
+            # uint16 bit pattern (or legacy void "|V2"): back to bf16, then
+            # widen for add()
             vecs = np.asarray(
-                jnp.asarray(vecs.view(np.uint16)).view(jnp.bfloat16)
-                .astype(jnp.float32)
-            )
+                codec.from_host(vecs, jnp.bfloat16).astype(jnp.float32))
         if len(vecs) == 0:
             return idx
         if idx.quantized and "scales" in state:
@@ -307,9 +298,7 @@ class FlatIndex:
                 idx._sq, jnp.asarray(state["sqnorms"], jnp.float32), (0,)
             )
             if idx._shadow is not None and "shadow" in state:
-                shadow = jnp.asarray(state["shadow"], jnp.uint16).view(
-                    jnp.bfloat16
-                )
+                shadow = codec.from_host(state["shadow"], jnp.bfloat16)
                 idx._shadow = jax.lax.dynamic_update_slice(
                     idx._shadow, shadow, (0, 0)
                 )

@@ -50,6 +50,7 @@ from ..ops import distance as dist_ops
 from ..ops.ivf_scan import fused_ivf_search
 from ..ops.kmeans import assign as kmeans_assign, train_kmeans
 from ..ops.quantize import quantize_rows
+from . import codec
 from .flat import FlatIndex, _round_up
 
 logger = get_logger(__name__)
@@ -729,10 +730,8 @@ class IVFFlatIndex:
     # ---------------------------------------------------------------- io
     @staticmethod
     def _to_host(arr: jax.Array) -> np.ndarray:
-        """savez-able numpy view (bf16 -> uint16 bits)."""
-        if arr.dtype == jnp.bfloat16:
-            arr = arr.view(jnp.uint16)
-        return np.asarray(arr)
+        """savez-able numpy view (bf16 -> uint16 bits; shared codec)."""
+        return codec.to_host(arr)
 
     def state_dict(self) -> dict:
         """Exact state, compact: live block rows in list order + lengths
@@ -786,9 +785,7 @@ class IVFFlatIndex:
         return state
 
     def _codes_from_host(self, arr: np.ndarray) -> jax.Array:
-        if self.dtype == jnp.bfloat16:
-            return jnp.asarray(arr, jnp.uint16).view(jnp.bfloat16)
-        return jnp.asarray(arr, self.dtype)
+        return codec.from_host(arr, self.dtype)
 
     def _install_blocks(
         self,
@@ -897,7 +894,7 @@ class IVFFlatIndex:
                 if idx.quantized else None
             )
             shadow = (
-                jnp.asarray(state["shadow"], jnp.uint16).view(jnp.bfloat16)
+                codec.from_host(state["shadow"], jnp.bfloat16)
                 if "shadow" in state else None
             )
             idx.rerank = shadow is not None  # no shadow saved -> no rerank
@@ -927,8 +924,8 @@ class IVFFlatIndex:
                 p_state["scales"] = np.asarray(state["pending_scales"])
             elif idx.dtype == jnp.bfloat16:
                 p_state["vectors"] = np.asarray(
-                    jnp.asarray(state["pending_codes"], jnp.uint16)
-                    .view(jnp.bfloat16).astype(jnp.float32)
+                    codec.from_host(state["pending_codes"], jnp.bfloat16)
+                    .astype(jnp.float32)
                 )
             idx._pending = FlatIndex.from_state_dict(
                 p_state, device=idx.device

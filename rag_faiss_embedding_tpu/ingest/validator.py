@@ -216,6 +216,11 @@ class DocumentValidator:
         ``document_validator.py:238-253``): averages, reduction percentage,
         extremes, and the active summarization method."""
         n = len(docs)
+        if n == 0:  # public API: an empty validation run gets an empty table
+            return [
+                ("Total Documents", "0"),
+                ("Summarization Method", self.summarization_method),
+            ]
         wc = [d["metadata"]["word_count"] for d in docs]
         avg_red = sum(
             (d["metadata"]["original_length"] - d["metadata"]["cleaned_length"])

@@ -338,6 +338,14 @@ def fused_ivf_search_math(
         # spill/finalize tail with the XLA backend.
         from .pallas_ivf import decode_topk, pick_bb, union_scan
 
+        # direct math-level callers (bench sweeps, sharded tier) bypass the
+        # pallas_eligible dispatch guard — fail loud rather than cast f32
+        # queries into int8 codes and skip the shadow rerank silently
+        if quantized or shadow is not None:
+            raise ValueError(
+                "backend='pallas' requires full-precision storage "
+                "(int8/shadow configs run the XLA backend)"
+            )
         bb = pick_bb(window, d, codes.dtype.itemsize, u_all.shape[1])
         u_pad = (-u_all.shape[1]) % bb
         if u_pad:

@@ -161,7 +161,7 @@ def union_scan(
     """Scan each chunk's union blocks; return PACKED candidates
     (chunks, QC, cap*window) int32 — order-mapped scores with the low
     ``ceil(log2(U))`` bits carrying the union-block index. Decode with
-    :func:`unpack_candidates`."""
+    :func:`decode_topk`."""
     chunks, qc, d = qs.shape
     u = u_all.shape[1]
     assert u % bb == 0, (u, bb)

@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.logging import get_logger
+from ..index import codec
 from ..ops import distance as dist_ops
 
 logger = get_logger(__name__)
@@ -278,16 +279,13 @@ class ShardedFlatIndex:
         # payload layout matches FlatIndex ("vectors" in insertion order), so
         # a sharded save can also be reloaded single-chip and vice versa; the
         # kind tag routes VectorStore.load_index back to a sharded instance
-        vecs = self._buf[: self.ntotal]
-        if self.dtype == jnp.bfloat16:
-            # bf16 has no npz dtype; persist the uint16 bit pattern
-            vecs = vecs.view(jnp.uint16)
+        vecs = codec.to_host(self._buf[: self.ntotal])
         return {
             "kind": "sharded_flat",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
-            "vectors": np.asarray(vecs),
+            "vectors": vecs,
         }
 
     @classmethod
@@ -315,9 +313,7 @@ class ShardedFlatIndex:
         if idx.dtype == jnp.bfloat16 and vectors.dtype != np.float32:
             # uint16 bit pattern (or legacy void "|V2"): bf16 bits -> f32
             vectors = np.asarray(
-                jnp.asarray(vectors.view(np.uint16)).view(jnp.bfloat16)
-                .astype(jnp.float32)
-            )
+                codec.from_host(vectors, jnp.bfloat16).astype(jnp.float32))
         if len(vectors):
             idx.add(vectors)
         return idx

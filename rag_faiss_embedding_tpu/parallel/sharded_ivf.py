@@ -46,6 +46,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.logging import get_logger
+from ..index import codec
 from ..index.flat import _round_up
 from ..ops import distance as dist_ops
 from ..ops.ivf_scan import default_union_cap, fused_ivf_search_math, pick_query_chunk
@@ -534,16 +535,11 @@ class ShardedIVFIndex:
     # ---------------------------------------------------------------- io
     @staticmethod
     def _to_host(arr) -> np.ndarray:
-        """savez-able numpy view (bf16 -> uint16 bits), exact."""
-        arr = jnp.asarray(arr)
-        if arr.dtype == jnp.bfloat16:
-            arr = arr.view(jnp.uint16)
-        return np.asarray(arr)
+        """savez-able numpy view (bf16 -> uint16 bits; shared codec)."""
+        return codec.to_host(arr)
 
     def _from_host(self, arr: np.ndarray, dtype) -> jax.Array:
-        if jnp.dtype(dtype) == jnp.bfloat16:
-            return jnp.asarray(arr, jnp.uint16).view(jnp.bfloat16)
-        return jnp.asarray(arr, dtype)
+        return codec.from_host(arr, dtype)
 
     def state_dict(self) -> dict:
         """Exact state, compact (format "sharded_padded_v1"): live block

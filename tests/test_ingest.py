@@ -166,3 +166,12 @@ def test_validator_summary_stats_parity():
     # rendering smoke: rich path and no-docs path both run
     v.display_summary(docs)
     v.display_summary([])
+
+
+def test_validator_summary_stats_empty():
+    """summary_stats is public API: an empty validation run must return an
+    empty-corpus table, not ZeroDivisionError."""
+    from rag_faiss_embedding_tpu.ingest.validator import DocumentValidator
+
+    rows = DocumentValidator().summary_stats([])
+    assert ("Total Documents", "0") in rows

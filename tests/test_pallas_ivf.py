@@ -133,3 +133,27 @@ def test_pick_bb_respects_vmem_budget():
     # fp32 x wide windows shrink the per-cell block count
     assert pallas_ivf.pick_bb(1024, 384, 4, 256) <= 2
     assert pallas_ivf.pick_bb(128, 384, 2, 8) == 8  # capped by union size
+
+
+def test_math_level_pallas_rejects_quantized(rng):
+    """Direct fused_ivf_search_math callers (bench sweeps, sharded tier)
+    bypass the index-level dispatch guard; the math-level pallas branch must
+    fail loud on int8 storage rather than cast queries into the code dtype
+    and skip the shadow rerank silently."""
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.ops.ivf_scan import fused_ivf_search_math
+
+    idx = IVFFlatIndex(128, nlist=8, dtype="int8")
+    pts = rng.standard_normal((512, 128)).astype(np.float32)
+    idx.build(pts)
+    q = jnp.asarray(pts[:16])
+    with pytest.raises(ValueError, match="full-precision"):
+        fused_ivf_search_math(
+            q, idx._cent_store, idx._cent_sq, idx._sorted_vecs,
+            idx._sorted_scales, idx._sorted_sq, idx._sorted_ids, None,
+            idx._sorted_shadow,
+            k=5, nprobe=8, window=idx._window, metric="L2",
+            recall_target=0.99, union_cap=64, qc=16,
+            backend="pallas", interpret=True,
+        )
