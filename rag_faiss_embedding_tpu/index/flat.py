@@ -107,6 +107,10 @@ class FlatIndex:
             )
             if selector == "rerank" and rerank_shadow else None
         )
+        # tombstone mask (remove_ids); allocated on first removal so the
+        # common no-deletions scan stays a 3-operand program
+        self._dead: Optional[jax.Array] = None
+        self.ndeleted = 0
 
     # ---------------------------------------------------------------- add
     def _grow(self, needed: int) -> None:
@@ -122,6 +126,8 @@ class FlatIndex:
             self._scales = jnp.pad(self._scales, (0, pad))
         if self._shadow is not None:
             self._shadow = jnp.pad(self._shadow, ((0, pad), (0, 0)))
+        if self._dead is not None:
+            self._dead = jnp.pad(self._dead, (0, pad))
         self._capacity = new_cap
         logger.debug("grew flat index capacity to %d rows", new_cap)
 
@@ -158,6 +164,37 @@ class FlatIndex:
             )
         self._sq = jax.lax.dynamic_update_slice(self._sq, sq_dev, (self.ntotal,))
         self.ntotal += n_new
+
+    # ------------------------------------------------------------ remove
+    @property
+    def nlive(self) -> int:
+        """Rows that remain searchable (``ntotal`` minus tombstones)."""
+        return self.ntotal - self.ndeleted
+
+    def remove_ids(self, ids: np.ndarray | jax.Array) -> int:
+        """Tombstone rows by position (``faiss.Index.remove_ids`` analog).
+
+        Unlike FAISS, positions are STABLE: rows are masked out of every
+        search path (both metrics, all selectors, incl. the exact rerank
+        stage), ``ntotal`` keeps counting capacity slots, and deletions
+        persist through ``state_dict``. Space is reclaimed by ``reset`` or
+        a rebuild from source documents. Returns the number of rows newly
+        removed (already-removed / out-of-range ids are ignored, matching
+        FAISS's IDSelector semantics)."""
+        pos = np.unique(np.asarray(ids, np.int64).ravel())
+        pos = pos[(pos >= 0) & (pos < self.ntotal)]
+        if not len(pos):
+            return 0
+        if self._dead is None:
+            self._dead = jax.device_put(
+                jnp.zeros((self._capacity,), jnp.bool_), self.device
+            )
+        before = self._dead
+        self._dead = before.at[jnp.asarray(pos, jnp.int32)].set(True)
+        newly = int(len(pos) - jnp.sum(before[jnp.asarray(pos, jnp.int32)]))
+        self.ndeleted += newly
+        logger.debug("tombstoned %d rows (%d live)", newly, self.nlive)
+        return newly
 
     # ------------------------------------------------------------- search
     def search(
@@ -197,6 +234,7 @@ class FlatIndex:
                     chunk_size=min(chunk_size, self._capacity),
                     cand_per_chunk=max(2 * k, 16),
                     recall_target=self.recall_target,
+                    dead=self._dead,
                 )
             return int8_search(
                 q_i8, q_scale, q_sq, self._buf, self._scales, self._sq, k,
@@ -204,6 +242,7 @@ class FlatIndex:
                 chunk_size=min(chunk_size, self._capacity),
                 selector=self.selector,
                 recall_target=self.recall_target,
+                dead=self._dead,
             )
         q = jax.device_put(q.astype(self.dtype), self.device)
         use_pallas = self._use_pallas
@@ -213,8 +252,9 @@ class FlatIndex:
             # for approx selection XLA's approx_max_k wins by far (174.6k)
             use_pallas = (
                 self.device.platform == "tpu" and self.selector == "exact"
+                and self._dead is None  # kernel has no tombstone operand
             )
-        if use_pallas:
+        if use_pallas and self._dead is None:
             try:
                 from ..ops import pallas_scan
 
@@ -229,12 +269,15 @@ class FlatIndex:
             metric=self.metric, db_sq=self._sq,
             n_valid=self.ntotal, chunk_size=chunk_size,
             selector=self.selector, recall_target=self.recall_target,
+            dead=self._dead,
         )
 
     # ------------------------------------------------------------- manage
     def reset(self) -> None:
         """Drop all vectors (reference ``faiss_store.py:124-128``)."""
         self.ntotal = 0
+        self.ndeleted = 0
+        self._dead = None
         self._buf = jnp.zeros_like(self._buf)
         self._sq = jnp.zeros_like(self._sq)
         if self._scales is not None:
@@ -267,6 +310,8 @@ class FlatIndex:
             state["sqnorms"] = np.asarray(self._sq[: self.ntotal])
             if self._shadow is not None:
                 state["shadow"] = codec.to_host(self._shadow[: self.ntotal])
+        if self.ndeleted:
+            state["dead"] = np.asarray(self._dead[: self.ntotal])
         return state
 
     @classmethod
@@ -317,4 +362,7 @@ class FlatIndex:
             idx.ntotal = n
         else:
             idx.add(vecs)
+        if "dead" in state:
+            dead = np.asarray(state["dead"], bool)
+            idx.remove_ids(np.nonzero(dead)[0])
         return idx

@@ -209,6 +209,7 @@ class IVFFlatIndex:
         self._lengths: Optional[jax.Array] = None   # (nlist,) live counts
         self._window = 0
         self._n_built = 0          # live rows in the block-padded tier
+        self.ndeleted = 0          # remove_ids tombstones (both tiers)
         # exact pending tier for streaming adds
         self._pending = FlatIndex(dim, metric=metric, dtype=dtype,
                                   device=self.device)
@@ -274,6 +275,45 @@ class IVFFlatIndex:
     @property
     def ntotal(self) -> int:
         return self._next_id
+
+    @property
+    def nlive(self) -> int:
+        """Rows that remain searchable (``ntotal`` minus tombstones)."""
+        return self._n_built + self._pending.ntotal - self.ndeleted
+
+    def remove_ids(self, ids: np.ndarray | jax.Array) -> int:
+        """Tombstone rows by original insertion id (``faiss.Index.remove_ids``
+        analog; reference never exposes removal — ``faiss_store.py`` only
+        resets). A removed row's block slot gets id -1, which every search
+        path already masks (fused XLA chunk scan, Pallas union kernel, the
+        windowed reference path, and the spill merge — same mechanism as
+        block padding); pending-tier rows are tombstoned in the flat tier
+        AND their global rowid map entry is cleared. ``state_dict`` persists
+        only live rows, so save/load doubles as compaction; ``rebuild()``
+        likewise drops tombstones (``vectors()`` collects live rows only).
+        Returns the number of rows newly removed."""
+        del_ids = np.unique(np.asarray(ids, np.int64).ravel())
+        del_ids = del_ids[(del_ids >= 0) & (del_ids < self._next_id)]
+        if not len(del_ids):
+            return 0
+        newly = 0
+        if self._n_built:
+            ids_np = np.asarray(self._sorted_ids)
+            pos = np.nonzero(np.isin(ids_np, del_ids))[0]
+            if len(pos):
+                self._sorted_ids = self._sorted_ids.at[
+                    jnp.asarray(pos, jnp.int32)
+                ].set(-1)
+                newly += int(len(pos))
+        if self._pending.ntotal:
+            ppos = np.nonzero(np.isin(self._pending_rowids, del_ids))[0]
+            if len(ppos):
+                newly += self._pending.remove_ids(ppos)
+                self._pending_rowids[ppos] = -1
+                self._pending_rowids_dev = None
+        self.ndeleted += newly
+        logger.debug("tombstoned %d rows (%d live)", newly, self.nlive)
+        return newly
 
     def train(self, vectors: np.ndarray | jax.Array) -> None:
         vecs = jnp.asarray(vectors)
@@ -509,7 +549,14 @@ class IVFFlatIndex:
         )
         self._window = window
         self._n_built = n - n_spill
-        self._next_id = n
+        # explicit row_ids may be sparse (rebuild after remove_ids keeps the
+        # surviving rows' original ids, so positions stay stable for the
+        # caller's position->doc mapping)
+        self._next_id = (
+            n if row_ids is None
+            else (int(np.max(row_ids)) + 1 if len(row_ids) else 0)
+        )
+        self.ndeleted = 0  # a (re)build only installs live rows
         bstats["finalize_s"] = time.perf_counter() - t0
         bstats["total_s"] = time.perf_counter() - t_start
         logger.info(
@@ -540,12 +587,14 @@ class IVFFlatIndex:
             self.rebuild()
 
     def rebuild(self) -> None:
-        """Merge pending tier into the inverted lists (keeps centroids)."""
-        if self._pending.ntotal == 0:
+        """Merge pending tier into the inverted lists (keeps centroids).
+        Surviving rows keep their original ids, so positions stay stable
+        across rebuilds even after ``remove_ids``."""
+        if self._pending.ntotal == 0 and not self.ndeleted:
             return
-        all_vecs = self.vectors()  # insertion order: built (by id) + pending
+        all_vecs, all_ids = self.vectors(return_ids=True)
         logger.info("rebuilding IVF with %d vectors", len(all_vecs))
-        self.build(all_vecs)
+        self.build(all_vecs, row_ids=all_ids)
 
     # -------------------------------------------------------------- search
     def _pending_dev(self) -> Tuple[jax.Array, ...]:
@@ -698,11 +747,13 @@ class IVFFlatIndex:
     def _live_mask(self) -> np.ndarray:
         return np.asarray(self._sorted_ids) >= 0
 
-    def vectors(self) -> np.ndarray:
+    def vectors(self, return_ids: bool = False):
         """Live vectors in original insertion order (spilled rows counted
-        once, via the pending tier). int8 indexes return the dequantized
-        reconstruction (codes survive a re-quantization round trip exactly:
-        the amax element maps back to ±127)."""
+        once, via the pending tier; remove_ids tombstones excluded). int8
+        indexes return the dequantized reconstruction (codes survive a
+        re-quantization round trip exactly: the amax element maps back to
+        ±127). ``return_ids=True`` also returns the rows' original ids
+        (sparse after removals)."""
         all_vecs = []
         all_ids = []
         if self._n_built:
@@ -719,13 +770,18 @@ class IVFFlatIndex:
             all_vecs.append(built.astype(np.float32))
             all_ids.append(ids)
         if self._pending.ntotal:
-            all_vecs.append(self._pending.vectors())
-            all_ids.append(self._pending_rowids)
+            plive = self._pending_rowids >= 0  # remove_ids clears the map
+            all_vecs.append(self._pending.vectors()[plive])
+            all_ids.append(self._pending_rowids[plive])
         if not all_vecs:
-            return np.zeros((0, self.dim), np.float32)
+            empty = np.zeros((0, self.dim), np.float32)
+            return (empty, np.zeros((0,), np.int32)) if return_ids else empty
         vecs = np.concatenate(all_vecs)
         ids = np.concatenate(all_ids)
-        return vecs[np.argsort(ids, kind="stable")]
+        order = np.argsort(ids, kind="stable")
+        if return_ids:
+            return vecs[order], ids[order].astype(np.int32)
+        return vecs[order]
 
     # ---------------------------------------------------------------- io
     @staticmethod
@@ -767,7 +823,11 @@ class IVFFlatIndex:
                 "codes": self._to_host(self._sorted_vecs[pos]),
                 "sqnorms": np.asarray(self._sorted_sq[pos]),
                 "sorted_ids": np.asarray(self._sorted_ids[pos]),
-                "lengths": np.asarray(self._lengths),
+                # recount per list from the live mask: remove_ids leaves
+                # dead slots mid-list, and reload re-packs live rows
+                # contiguously (save/load doubles as compaction)
+                "lengths": live[: self.nlist * self._window]
+                .reshape(self.nlist, self._window).sum(1).astype(np.int64),
             })
             if self.quantized:
                 state["scales"] = np.asarray(self._sorted_scales[pos])
@@ -775,13 +835,15 @@ class IVFFlatIndex:
                 state["shadow"] = self._to_host(self._sorted_shadow[pos])
         if self._pending.ntotal:
             p = self._pending
+            plive = self._pending_rowids >= 0  # drop remove_ids tombstones
+            psel = jnp.asarray(np.nonzero(plive)[0], jnp.int32)
             state.update({
-                "pending_codes": self._to_host(p._buf[: p.ntotal]),
-                "pending_sq": np.asarray(p._sq[: p.ntotal]),
-                "pending_rowids": self._pending_rowids,
+                "pending_codes": self._to_host(p._buf[psel]),
+                "pending_sq": np.asarray(p._sq[psel]),
+                "pending_rowids": self._pending_rowids[plive],
             })
             if self.quantized:
-                state["pending_scales"] = np.asarray(p._scales[: p.ntotal])
+                state["pending_scales"] = np.asarray(p._scales[psel])
         return state
 
     def _codes_from_host(self, arr: np.ndarray) -> jax.Array:

@@ -59,6 +59,11 @@ class VectorStore:
     def ntotal(self) -> int:
         return self.index.ntotal
 
+    @property
+    def nlive(self) -> int:
+        """Searchable vectors (``ntotal`` minus ``remove_ids`` tombstones)."""
+        return getattr(self.index, "nlive", self.index.ntotal)
+
     def add_vectors(self, vectors: np.ndarray, ids: Sequence[int]) -> None:
         """Add vectors with their document ids (``faiss_store.py:36-47``)."""
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -99,6 +104,28 @@ class VectorStore:
         if single:
             return all_dists[0], all_ids[0]
         return all_dists, all_ids
+
+    def remove_doc_ids(self, doc_ids: Sequence[int]) -> int:
+        """Remove all vectors mapped to the given document ids.
+
+        Pairs with the index tiers' ``remove_ids`` (FAISS
+        ``Index.remove_ids`` + ``IDSelector``): row positions stay stable,
+        so the position->doc-id mapping keeps working; removed slots are
+        set to -1 in the mapping, making staleness explicit in the
+        persisted sidecar. Returns the number of vectors removed."""
+        wanted = {int(i) for i in doc_ids}
+        positions = [
+            p for p, d in enumerate(self.doc_ids) if d in wanted
+        ]
+        if not positions:
+            return 0
+        removed = self.index.remove_ids(np.asarray(positions, np.int64))
+        for p in positions:
+            self.doc_ids[p] = -1
+        logger.debug(
+            "removed %d vectors for %d doc ids", removed, len(wanted)
+        )
+        return int(removed)
 
     # ------------------------------------------------------------------ io
     def save_index(self, filepath: Optional[str | Path] = None) -> None:

@@ -120,6 +120,7 @@ def _exact_search_impl(
     chunk_size: int,
     selector: str = "exact",
     recall_target: float = 0.99,
+    dead: Optional[jax.Array] = None,  # (N,) bool tombstones (remove_ids)
 ) -> Tuple[jax.Array, jax.Array]:
     n = db.shape[0]
     nq = q.shape[0]
@@ -135,6 +136,8 @@ def _exact_search_impl(
         db = jnp.pad(db, ((0, n_pad), (0, 0)))
         if db_sq is not None:
             db_sq = jnp.pad(db_sq, (0, n_pad))
+        if dead is not None:
+            dead = jnp.pad(dead, (0, n_pad))
 
     db_c = db.reshape(n_chunks, chunk_size, db.shape[1])
     sq_c = (
@@ -142,20 +145,26 @@ def _exact_search_impl(
         if db_sq is not None
         else jnp.zeros((n_chunks, chunk_size), jnp.float32)
     )
+    dead_c = (
+        dead.reshape(n_chunks, chunk_size) if dead is not None else None
+    )
 
     init_vals = jnp.full((nq, k_eff), NEG_INF, jnp.float32)
     init_idx = jnp.full((nq, k_eff), -1, jnp.int32)
 
     def step(carry, inp):
         best_v, best_i = carry
-        chunk, chunk_sq, start = inp
+        chunk, chunk_sq, start, chunk_dead = inp
         scores = _chunk_scores(q, chunk, chunk_sq, metric)
         # 1-D column iota: a full (Q, chunk) int32 gidx feeding both the
         # mask and the index take materializes multi-GB intermediates per
         # chunk (measured 3x the whole scan); chunk-local positions turn
         # into global ids AFTER selection as start + cp
         col = lax.iota(jnp.int32, scores.shape[1])
-        scores = jnp.where(col[None, :] < n_valid - start, scores, NEG_INF)
+        live = col[None, :] < n_valid - start
+        if chunk_dead is not None:
+            live = live & ~chunk_dead[None, :]
+        scores = jnp.where(live, scores, NEG_INF)
         kc = min(k_eff, chunk_size)  # a chunk can contribute at most its rows
         if selector == "approx":
             # XLA's TPU PartialReduce ANN selection (the ScaNN-style
@@ -168,7 +177,8 @@ def _exact_search_impl(
         return merge_topk(best_v, best_i, cv, ci, k_eff), None
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
-    (best_v, best_i), _ = lax.scan(step, (init_vals, init_idx), (db_c, sq_c, starts))
+    xs = (db_c, sq_c, starts, dead_c)
+    (best_v, best_i), _ = lax.scan(step, (init_vals, init_idx), xs)
 
     valid = best_v > NEG_INF
     best_i = jnp.where(valid, best_i, -1)
@@ -201,6 +211,7 @@ def exact_search(
     chunk_size: int = 524288,
     selector: str = "exact",
     recall_target: float = 0.99,
+    dead: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k scan over ``db`` for a batch of queries.
 
@@ -221,6 +232,8 @@ def exact_search(
         (lax.approx_max_k, TPU-optimized selection with per-chunk
         recall@k >= recall_target; the distance computation stays exact).
       recall_target: per-chunk selection recall for selector="approx".
+      dead: optional (N,) bool tombstone mask (``remove_ids``); True rows
+        are never returned, for both metrics and both selectors.
 
     Returns:
       (values, indices): (Q, k) raw distances/scores and int32 row indices.
@@ -237,5 +250,5 @@ def exact_search(
     return _exact_search_impl(
         q, db, k, metric=metric, db_sq=db_sq, n_valid=nv,
         chunk_size=chunk_size, selector=selector,
-        recall_target=recall_target,
+        recall_target=recall_target, dead=dead,
     )

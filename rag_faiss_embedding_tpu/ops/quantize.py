@@ -70,6 +70,7 @@ def int8_search(
     chunk_size: int,
     selector: str = "exact",
     recall_target: float = DEFAULT_INT8_RECALL_TARGET,
+    dead: Optional[jax.Array] = None,  # (N,) bool tombstones (remove_ids)
 ) -> Tuple[jax.Array, jax.Array]:
     """Chunked int8 scan with running top-k; same contract as exact_search."""
     n, d = db_i8.shape
@@ -82,9 +83,12 @@ def int8_search(
         db_i8 = jnp.pad(db_i8, ((0, pad), (0, 0)))
         db_scale = jnp.pad(db_scale, (0, pad))
         db_sq = jnp.pad(db_sq, (0, pad))
+        if dead is not None:
+            dead = jnp.pad(dead, (0, pad))
     db_c = db_i8.reshape(n_chunks, chunk_size, d)
     sc_c = db_scale.reshape(n_chunks, chunk_size)
     sq_c = db_sq.reshape(n_chunks, chunk_size)
+    dead_c = dead.reshape(n_chunks, chunk_size) if dead is not None else None
 
     init = (
         jnp.full((nq, k_eff), NEG_INF, jnp.float32),
@@ -93,7 +97,7 @@ def int8_search(
 
     def step(carry, inp):
         best_v, best_i = carry
-        chunk, scales, sqs, start = inp
+        chunk, scales, sqs, start, chunk_dead = inp
         # int8 x int8 -> int32 on the MXU
         dots_i32 = jnp.dot(q_i8, chunk.T, preferred_element_type=jnp.int32)
         dots = dots_i32.astype(jnp.float32) * q_scale[:, None] * scales[None, :]
@@ -106,7 +110,10 @@ def int8_search(
         # chunk (measured 3x the whole scan); chunk-local positions turn
         # into global ids AFTER selection as start + cp
         col = lax.iota(jnp.int32, scores.shape[1])
-        scores = jnp.where(col[None, :] < n_valid - start, scores, NEG_INF)
+        live = col[None, :] < n_valid - start
+        if chunk_dead is not None:
+            live = live & ~chunk_dead[None, :]
+        scores = jnp.where(live, scores, NEG_INF)
         kc = min(k_eff, chunk_size)
         if selector == "approx":
             cv, cp = lax.approx_max_k(scores, kc, recall_target=recall_target)
@@ -117,7 +124,9 @@ def int8_search(
         return merge_topk(best_v, best_i, cv, ci, k_eff), None
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
-    (best_v, best_i), _ = lax.scan(step, init, (db_c, sc_c, sq_c, starts))
+    (best_v, best_i), _ = lax.scan(
+        step, init, (db_c, sc_c, sq_c, starts, dead_c)
+    )
 
     valid = best_v > NEG_INF
     best_i = jnp.where(valid, best_i, -1)
@@ -159,6 +168,7 @@ def int8_rerank_search(
     chunk_size: int,
     cand_per_chunk: int,
     recall_target: float = 0.99,
+    dead: Optional[jax.Array] = None,  # (N,) bool tombstones (remove_ids)
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-stage retrieve-then-rerank over SQ8 storage.
 
@@ -179,13 +189,16 @@ def int8_rerank_search(
         db_i8 = jnp.pad(db_i8, ((0, pad), (0, 0)))
         db_scale = jnp.pad(db_scale, (0, pad))
         db_sq = jnp.pad(db_sq, (0, pad))
+        if dead is not None:
+            dead = jnp.pad(dead, (0, pad))
     db_c = db_i8.reshape(n_chunks, chunk_size, d)
     sc_c = db_scale.reshape(n_chunks, chunk_size)
     sq_c = db_sq.reshape(n_chunks, chunk_size)
+    dead_c = dead.reshape(n_chunks, chunk_size) if dead is not None else None
     kc = min(cand_per_chunk, chunk_size)
 
     def step(_, inp):
-        chunk, scales, sqs, start = inp
+        chunk, scales, sqs, start, chunk_dead = inp
         dots_i32 = jnp.dot(q_i8, chunk.T, preferred_element_type=jnp.int32)
         dots = dots_i32.astype(jnp.float32) * q_scale[:, None] * scales[None, :]
         scores = 2.0 * dots - sqs[None, :] if metric == "L2" else dots
@@ -194,17 +207,27 @@ def int8_rerank_search(
         # chunk (measured 3x the whole scan); chunk-local positions turn
         # into global ids AFTER selection as start + cp
         col = lax.iota(jnp.int32, scores.shape[1])
-        scores = jnp.where(col[None, :] < n_valid - start, scores, NEG_INF)
+        live = col[None, :] < n_valid - start
+        if chunk_dead is not None:
+            live = live & ~chunk_dead[None, :]
+        scores = jnp.where(live, scores, NEG_INF)
         _, cp = lax.approx_max_k(scores, kc, recall_target=recall_target)
         return None, cp.astype(jnp.int32) + start
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
-    _, cand_ids = lax.scan(step, None, (db_c, sc_c, sq_c, starts))
+    _, cand_ids = lax.scan(
+        step, None, (db_c, sc_c, sq_c, starts, dead_c)
+    )
     # (n_chunks, Q, kc) -> (Q, n_chunks*kc); chunks are disjoint row ranges,
     # so candidate ids are unique (invalid ones are masked below)
     cand_ids = jnp.transpose(cand_ids, (1, 0, 2)).reshape(nq, -1)
 
     cand_valid = cand_ids < n_valid
+    if dead is not None:
+        # the exact stage-2 re-score would otherwise RESURRECT a tombstoned
+        # row that slipped into the candidate set (stage 1 only sees its
+        # NEG_INF-masked score when the chunk had spare candidate slots)
+        cand_valid = cand_valid & ~dead[jnp.minimum(cand_ids, n - 1)]
     safe_ids = jnp.where(cand_valid, cand_ids, 0)
     if shadow is not None:
         cand_rows = shadow[safe_ids].astype(jnp.float32)   # (Q, C, D)

@@ -36,13 +36,13 @@ logger = get_logger(__name__)
 
 
 def _local_scan(q, db_shard, sq_shard, start, n_valid, k, metric, chunk_size,
-                selector="exact"):
+                selector="exact", dead_shard=None):
     """Per-device fused scan over the local shard; returns global indices."""
     vals, idx = dist_ops._exact_search_impl(
         q, db_shard, k,
         metric=metric, db_sq=sq_shard,
         n_valid=jnp.maximum(n_valid - start, 0).astype(jnp.int32),
-        chunk_size=chunk_size, selector=selector,
+        chunk_size=chunk_size, selector=selector, dead=dead_shard,
     )
     gidx = jnp.where(idx >= 0, idx + start, -1)
     return vals, gidx
@@ -59,6 +59,7 @@ def _build_sharded_search(
     db_axis: str,
     data_axis: Optional[str],
     selector: str,
+    with_dead: bool = False,
 ):
     """Build + jit the shard_map'd search once per static signature.
 
@@ -69,13 +70,16 @@ def _build_sharded_search(
     n_dev = mesh.shape[db_axis]
     qspec = P(data_axis) if data_axis else P()
     in_specs = (qspec, P(db_axis), P(db_axis), P())
+    if with_dead:
+        in_specs = in_specs + (P(db_axis),)
     out_specs = (qspec, qspec)
 
-    def kernel(q_l, db_l, sq_l, nv_l):
+    def kernel(q_l, db_l, sq_l, nv_l, *rest):
         dev = jax.lax.axis_index(db_axis)
         start = dev * rows_per_dev
         vals, gidx = _local_scan(
-            q_l, db_l, sq_l, start, nv_l, k_eff, metric, chunk_size, selector
+            q_l, db_l, sq_l, start, nv_l, k_eff, metric, chunk_size, selector,
+            dead_shard=rest[0] if rest else None,
         )
         # merge across the db axis: gather k candidates from every shard
         all_vals = jax.lax.all_gather(vals, db_axis, axis=1, tiled=True)
@@ -111,6 +115,7 @@ def sharded_exact_search(
     db_axis: str = "db",
     data_axis: Optional[str] = None,
     selector: str = "exact",
+    dead: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded database.
 
@@ -132,9 +137,12 @@ def sharded_exact_search(
 
     fn = _build_sharded_search(
         mesh, k, k_eff, rows_per_dev, metric, chunk_size, db_axis,
-        data_axis, selector,
+        data_axis, selector, with_dead=dead is not None,
     )
-    vals, idx = fn(q, db, db_sq, nv)
+    vals, idx = (
+        fn(q, db, db_sq, nv, dead) if dead is not None
+        else fn(q, db, db_sq, nv)
+    )
     k_got = vals.shape[1]
     if k_got < k:
         nq = q.shape[0]
@@ -186,6 +194,9 @@ class ShardedFlatIndex:
         self._sq = jax.device_put(
             jnp.zeros((self._capacity,), jnp.float32), self._sharding
         )
+        # tombstone mask (remove_ids); allocated on first removal
+        self._dead: Optional[jax.Array] = None
+        self.ndeleted = 0
 
     def _round_cap(self, cap: int) -> int:
         per_dev = -(-cap // self.n_dev)
@@ -213,6 +224,10 @@ class ShardedFlatIndex:
         )
         self._buf = pad_buf(self._buf)
         self._sq = pad_sq(self._sq)
+        if self._dead is not None:
+            self._dead = jax.jit(
+                lambda d: jnp.pad(d, (0, pad)), out_shardings=self._sharding
+            )(self._dead)
         self._capacity = new_cap
         logger.debug("grew sharded index capacity to %d rows (on device)",
                      new_cap)
@@ -262,11 +277,41 @@ class ShardedFlatIndex:
             self.mesh, q, self._buf, k,
             metric=self.metric, db_sq=self._sq, n_valid=self.ntotal,
             chunk_size=chunk_size, db_axis=self.db_axis,
-            selector=self.selector,
+            selector=self.selector, dead=self._dead,
         )
+
+    @property
+    def nlive(self) -> int:
+        """Rows that remain searchable (``ntotal`` minus tombstones)."""
+        return self.ntotal - self.ndeleted
+
+    def remove_ids(self, ids) -> int:
+        """Tombstone rows by position (``faiss.Index.remove_ids`` analog;
+        same stable-position semantics as FlatIndex.remove_ids). The mask is
+        sharded over the db axis like the buffers, so the per-device scan
+        masks its local rows with no cross-device traffic."""
+        pos = np.unique(np.asarray(ids, np.int64).ravel())
+        pos = pos[(pos >= 0) & (pos < self.ntotal)]
+        if not len(pos):
+            return 0
+        if self._dead is None:
+            self._dead = jax.device_put(
+                jnp.zeros((self._capacity,), jnp.bool_), self._sharding
+            )
+        before = self._dead
+        upd = jax.jit(
+            lambda d, p: d.at[p].set(True), out_shardings=self._sharding
+        )
+        self._dead = upd(before, jnp.asarray(pos, jnp.int32))
+        newly = int(len(pos) - jnp.sum(before[jnp.asarray(pos, jnp.int32)]))
+        self.ndeleted += newly
+        logger.debug("tombstoned %d rows (%d live)", newly, self.nlive)
+        return newly
 
     def reset(self) -> None:
         self.ntotal = 0
+        self.ndeleted = 0
+        self._dead = None
         self._buf = jax.device_put(
             jnp.zeros_like(self._buf), self._sharding
         )
@@ -280,13 +325,16 @@ class ShardedFlatIndex:
         # a sharded save can also be reloaded single-chip and vice versa; the
         # kind tag routes VectorStore.load_index back to a sharded instance
         vecs = codec.to_host(self._buf[: self.ntotal])
-        return {
+        state = {
             "kind": "sharded_flat",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(self.dtype),
             "vectors": vecs,
         }
+        if self.ndeleted:
+            state["dead"] = np.asarray(self._dead[: self.ntotal])
+        return state
 
     @classmethod
     def from_state_dict(
@@ -316,4 +364,6 @@ class ShardedFlatIndex:
                 codec.from_host(vectors, jnp.bfloat16).astype(jnp.float32))
         if len(vectors):
             idx.add(vectors)
+        if "dead" in state:
+            idx.remove_ids(np.nonzero(np.asarray(state["dead"], bool))[0])
         return idx

@@ -204,6 +204,7 @@ class ShardedIVFIndex:
         self._window = 0
         self._n_built = 0
         self._next_id = 0
+        self.ndeleted = 0
         # streaming pending tier: staged on host, mirrored round-robin
         self._stream_vecs = np.zeros((0, self.dim), np.float32)
         self._stream_ids = np.zeros((0,), np.int32)
@@ -214,8 +215,13 @@ class ShardedIVFIndex:
         return self._next_id
 
     # ------------------------------------------------------------- building
-    def build(self, vectors: np.ndarray | jax.Array) -> None:
-        """Train centroids globally, build per-device local lists ON DEVICE."""
+    def build(self, vectors: np.ndarray | jax.Array,
+              row_ids: Optional[np.ndarray] = None) -> None:
+        """Train centroids globally, build per-device local lists ON DEVICE.
+
+        ``row_ids`` assigns explicit (possibly sparse) global ids to the
+        rows — used by ``rebuild()`` so surviving rows keep their original
+        ids after ``remove_ids``; default is positional 0..n-1."""
         vecs = jnp.asarray(vectors, jnp.float32)
         n = int(vecs.shape[0])
         nlist = min(self.nlist, max(1, n // self.n_dev))
@@ -266,8 +272,16 @@ class ShardedIVFIndex:
         )
         sorted_vecs = jnp.take_along_axis(vecs_pad, order[..., None], axis=1)
         sorted_sq = jnp.sum(sorted_vecs.astype(jnp.float32) ** 2, axis=-1)
-        base = (jnp.arange(self.n_dev, dtype=jnp.int32) * per)[:, None]
-        gids = jnp.where(valid, base + order.astype(jnp.int32), -1)
+        if row_ids is None:
+            base = (jnp.arange(self.n_dev, dtype=jnp.int32) * per)[:, None]
+            gids = jnp.where(valid, base + order.astype(jnp.int32), -1)
+        else:
+            rid = jnp.pad(
+                jnp.asarray(row_ids, jnp.int32), (0, n_pad - n),
+                constant_values=-1,
+            ).reshape(self.n_dev, per)
+            gids = jnp.where(valid, jnp.take_along_axis(rid, order, axis=1),
+                             -1)
 
         # ---- window cap at the list-length quantile (one tiny host sync)
         lengths_np = np.asarray(lengths)
@@ -359,7 +373,11 @@ class ShardedIVFIndex:
         self._cent_sq = cent_sq
         self._window = window
         self._n_built = n
-        self._next_id = n
+        self._next_id = (
+            n if row_ids is None
+            else (int(np.max(row_ids)) + 1 if len(row_ids) else 0)
+        )
+        self.ndeleted = 0  # a (re)build only installs live rows
         self._stream_vecs = np.zeros((0, self.dim), np.float32)
         self._stream_ids = np.zeros((0,), np.int32)
         self._pending_dev = None
@@ -387,11 +405,68 @@ class ShardedIVFIndex:
         if len(self._stream_ids) > self.rebuild_threshold * self._n_built:
             self.rebuild()
 
+    @property
+    def nlive(self) -> int:
+        """Rows that remain searchable (``ntotal`` minus tombstones)."""
+        return self._n_built + len(self._stream_ids) - self.ndeleted
+
+    def remove_ids(self, ids) -> int:
+        """Tombstone rows by original insertion id across all three tiers
+        (block lists, per-device spill, host-staged stream) — the
+        ``faiss.Index.remove_ids`` analog with stable positions; every scan
+        already masks id -1 (the block-padding mechanism). ``state_dict``
+        and ``rebuild()`` persist only live rows."""
+        del_ids = np.unique(np.asarray(ids, np.int64).ravel())
+        del_ids = del_ids[(del_ids >= 0) & (del_ids < self._next_id)]
+        if not len(del_ids):
+            return 0
+        newly = 0
+        if self._n_built and self._ids is not None:
+            ids_np = np.asarray(self._ids)
+            hit = np.isin(ids_np, del_ids)
+            if hit.any():
+                upd = jax.jit(
+                    lambda a, m: jnp.where(m, -1, a),
+                    out_shardings=self._sharding,
+                )
+                self._ids = upd(self._ids, jax.device_put(
+                    jnp.asarray(hit), self._sharding))
+                newly += int(hit.sum())
+        if self._spill is not None:
+            sp_vecs, sp_sq, sp_ids, sp_counts = self._spill
+            s_np = np.asarray(sp_ids)
+            hit = np.isin(s_np, del_ids)
+            if hit.any():
+                upd = jax.jit(
+                    lambda a, m: jnp.where(m, -1, a),
+                    out_shardings=self._sharding,
+                )
+                sp_ids = upd(sp_ids, jax.device_put(
+                    jnp.asarray(hit), self._sharding))
+                self._spill = (sp_vecs, sp_sq, sp_ids, sp_counts)
+                newly += int(hit.sum())
+        self.ndeleted += newly  # tombstones in the device tiers only
+        if len(self._stream_ids):
+            # host-staged rows are dropped outright (no tombstone needed);
+            # they shrink len(_stream_ids) instead of counting in ndeleted
+            keep = ~np.isin(self._stream_ids, del_ids)
+            dropped = int((~keep).sum())
+            if dropped:
+                self._stream_vecs = self._stream_vecs[keep]
+                self._stream_ids = self._stream_ids[keep]
+                self._pending_dev = None  # mirror is stale
+                newly += dropped
+        logger.debug("tombstoned %d rows (%d live)", newly, self.nlive)
+        return newly
+
     def rebuild(self) -> None:
-        if not len(self._stream_ids):
+        """Merge the stream tier into the lists; surviving rows keep their
+        original ids (stable positions across remove_ids + rebuild)."""
+        if not len(self._stream_ids) and not self.ndeleted:
             return
-        logger.info("rebuilding sharded IVF with %d vectors", self.ntotal)
-        self.build(self.vectors())
+        vecs, ids = self.vectors(return_ids=True)
+        logger.info("rebuilding sharded IVF with %d vectors", len(vecs))
+        self.build(vecs, row_ids=ids)
 
     def _refresh_pending(self) -> None:
         """Mirror the host-staged stream tier to (n_dev, t_pad, ...) arrays,
@@ -496,10 +571,11 @@ class ShardedIVFIndex:
         self.centroids = None
         self._clear_state()
 
-    def vectors(self) -> np.ndarray:
-        """Live vectors in original insertion order. int8 storage returns
-        the dequantized reconstruction (spilled rows stay full precision in
-        their tier, so they reload exactly)."""
+    def vectors(self, return_ids: bool = False):
+        """Live vectors in original insertion order (remove_ids tombstones
+        excluded). int8 storage returns the dequantized reconstruction
+        (spilled rows stay full precision in their tier, so they reload
+        exactly). ``return_ids=True`` also returns original ids."""
         parts_v, parts_i = [], []
         if self._n_built:
             ids = np.asarray(self._ids).reshape(-1)
@@ -527,10 +603,14 @@ class ShardedIVFIndex:
             parts_v.append(self._stream_vecs)
             parts_i.append(self._stream_ids)
         if not parts_v:
-            return np.zeros((0, self.dim), np.float32)
+            empty = np.zeros((0, self.dim), np.float32)
+            return (empty, np.zeros((0,), np.int32)) if return_ids else empty
         vecs = np.concatenate(parts_v)
         ids = np.concatenate(parts_i)
-        return vecs[np.argsort(ids, kind="stable")]
+        order = np.argsort(ids, kind="stable")
+        if return_ids:
+            return vecs[order], ids[order].astype(np.int32)
+        return vecs[order]
 
     # ---------------------------------------------------------------- io
     @staticmethod
@@ -597,6 +677,12 @@ class ShardedIVFIndex:
                     "spill_sq": np.asarray(sp_sq.reshape(-1)[s_pos]),
                     "spill_ids": s_ids[s_live],
                 })
+            # only live rows are saved, so the reloaded tier count must be
+            # the live count (remove_ids tombstones do not survive a save)
+            state["n_built"] = int(live.sum()) + (
+                int((np.asarray(self._spill[2]) >= 0).sum())
+                if self._spill is not None else 0
+            )
         if len(self._stream_ids):
             state.update({
                 "stream_vecs": self._stream_vecs,

@@ -106,9 +106,20 @@ class RAGManager:
 
     def add_documents(self, documents: List[Dict]) -> int:
         """Streaming adds: insert + embed + append to the live index
-        (BASELINE.md config #5; no reference analog — it rebuilds)."""
+        (BASELINE.md config #5; no reference analog — it rebuilds).
+
+        Re-adding an existing url REPLACES the document (SQLite
+        ``INSERT OR REPLACE``) — the superseded row's vector is tombstoned
+        so stale embeddings never answer queries (the reference leaks the
+        old FAISS row on url conflicts)."""
         if not documents:
             return 0
+        prior_ids = [
+            pid for doc in documents
+            if (pid := self.db.get_document_id_by_url(doc["url"])) is not None
+        ]
+        if prior_ids:
+            self.vector_store.remove_doc_ids(prior_ids)
         ids = self.db.insert_documents(documents)
         contents = [doc["content"] for doc in documents]
         if self.embedder.tokenizer is None:
@@ -145,6 +156,38 @@ class RAGManager:
         except Exception:
             logger.exception("error searching documents")
             return []
+
+    # ------------------------------------------------------------ deletion
+    def delete_documents(
+        self,
+        doc_ids: Optional[List[int]] = None,
+        urls: Optional[List[str]] = None,
+        persist: bool = False,
+    ) -> int:
+        """Delete documents by id and/or url from BOTH stores.
+
+        The vector rows are tombstoned in place (``remove_ids``) — positions
+        stay stable, no rebuild — and the SQLite rows are dropped. With
+        ``persist=True`` the index is re-saved (save doubles as compaction
+        for the IVF tiers). No reference analog: the reference can only
+        drop the whole database (``drop-database.py``). Returns the number
+        of documents deleted."""
+        ids = [int(i) for i in (doc_ids or [])]
+        for url in urls or []:
+            found = self.db.get_document_id_by_url(url)
+            if found is not None:
+                ids.append(found)
+            else:
+                logger.warning("delete: no document with url %s", url)
+        ids = sorted(set(ids))
+        if not ids:
+            return 0
+        self.vector_store.remove_doc_ids(ids)
+        n = self.db.delete_documents(ids)
+        if persist:
+            self.vector_store.save_index()
+        logger.info("deleted %d documents", n)
+        return n
 
     # ------------------------------------------------------------- cleanup
     def reset(self) -> None:

@@ -180,7 +180,7 @@ def make_app(engine, config: Optional[Config] = None, manager=None):
             {
                 "status": watchdog["status"],
                 "documents": engine.db.get_document_count(),
-                "vectors": engine.vector_store.ntotal,
+                "vectors": engine.vector_store.nlive,
                 "watchdog_error": watchdog["error"],
             },
             status=200 if healthy else 503,
@@ -240,11 +240,38 @@ def make_app(engine, config: Optional[Config] = None, manager=None):
             {"added": n, "vectors": engine.vector_store.ntotal}
         )
 
+    async def delete_documents(request):
+        if manager is None:
+            return web.json_response(
+                {"detail": "document management not enabled"}, status=501
+            )
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"detail": "invalid JSON body"}, status=400)
+        ids = body.get("ids", [])
+        urls = body.get("urls", [])
+        if not isinstance(ids, list) or not isinstance(urls, list):
+            return web.json_response(
+                {"detail": "'ids' and 'urls' must be lists"}, status=422
+            )
+        if not ids and not urls:
+            return web.json_response(
+                {"detail": "provide 'ids' and/or 'urls' to delete"}, status=422
+            )
+        n = await asyncio.to_thread(
+            manager.delete_documents, ids, urls, bool(body.get("persist", False))
+        )
+        return web.json_response(
+            {"deleted": n, "documents": engine.db.get_document_count()}
+        )
+
     app = web.Application()
     app.router.add_get("/health", health)
     app.router.add_post("/search", search)
     app.router.add_get("/stats", stats)
     app.router.add_post("/documents", add_documents)
+    app.router.add_delete("/documents", delete_documents)
     app.on_startup.append(on_startup)
     app.on_cleanup.append(on_cleanup)
     app[_service_key()] = service

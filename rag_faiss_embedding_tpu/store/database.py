@@ -153,6 +153,30 @@ class Database:
     def get_document_count(self) -> int:
         return int(self.conn.execute("SELECT COUNT(*) FROM documents").fetchone()[0])
 
+    def delete_documents(self, doc_ids: Iterable[int]) -> int:
+        """Delete documents by id; returns the number of rows removed.
+
+        No reference analog — the reference only drops the whole database
+        (``drop-database.py``); per-document deletion pairs with the index
+        tiers' ``remove_ids``."""
+        ids = [int(i) for i in doc_ids]
+        if not ids:
+            return 0
+        placeholders = ",".join("?" * len(ids))
+        cur = self.conn.execute(
+            f"DELETE FROM documents WHERE id IN ({placeholders})", ids
+        )
+        self.conn.commit()
+        logger.debug("deleted %d documents", cur.rowcount)
+        return int(cur.rowcount)
+
+    def delete_document_by_url(self, url: str) -> Optional[int]:
+        """Delete one document by url; returns its id (None if absent)."""
+        doc_id = self.get_document_id_by_url(url)
+        if doc_id is not None:
+            self.delete_documents([doc_id])
+        return doc_id
+
     def delete_all(self) -> None:
         self.conn.execute("DELETE FROM documents")
         self.conn.commit()

@@ -151,3 +151,39 @@ def test_manager_ivf_index_kind(tmp_path, embedder):
     m2.load_indices()
     assert isinstance(m2.vector_store.index, IVFFlatIndex)
     assert m2.search_similar_documents(DOCS[1]["content"], k=1)[0]["id"] == 4
+
+
+def test_delete_documents_by_id_and_url(manager):
+    manager.initialize_database()
+    assert manager.delete_documents(doc_ids=[4]) == 1
+    # deleted doc never answers again, even for its own content
+    results = manager.search_similar_documents(DOCS[1]["content"], k=3)
+    assert all(r["id"] != 4 for r in results)
+    assert manager.db.get_document_by_id(4) is None
+    # by url, with persistence -> survives reload
+    assert manager.delete_documents(urls=["https://ex/jax"], persist=True) == 1
+    m2 = RAGManager(config=manager.config, embedder=manager.embedder)
+    m2.vector_store.index._use_pallas = False
+    m2.load_indices()
+    results = m2.search_similar_documents(DOCS[0]["content"], k=3)
+    assert [r["id"] for r in results] == [1]  # only db.html remains
+    # unknown ids/urls are no-ops
+    assert manager.delete_documents(doc_ids=[999], urls=["https://nope"]) == 0
+
+
+def test_readd_url_replaces_vector(manager):
+    """Re-adding an existing url must tombstone the superseded embedding:
+    the old vector (with the OLD content) may not answer for its doc id."""
+    manager.initialize_database()
+    changed = {"url": "https://ex/tpu", "title": "tpu.html",
+               "content": "sqlite stores documents in a single database file"}
+    manager.add_documents([changed])
+    assert manager.vector_store.index.nlive == 3
+    # the replaced doc is now retrieved by its NEW content...
+    results = manager.search_similar_documents(changed["content"], k=2)
+    new_id = manager.db.get_document_id_by_url("https://ex/tpu")
+    assert new_id in [r["id"] for r in results]
+    # ...and its OLD embedding no longer answers the old content
+    results = manager.search_similar_documents(DOCS[1]["content"], k=3)
+    hit_ids = [r["id"] for r in results]
+    assert 4 not in hit_ids or new_id == 4

@@ -198,3 +198,51 @@ def test_add_documents_disabled_without_manager(engine):
         engine, [("POST", "/documents", {"documents": [{"url": "u", "content": "c"}]})]
     )
     assert status == 501
+
+
+def test_delete_documents_endpoint(tmp_path_factory):
+    """DELETE /documents removes from both stores; bad bodies are 422."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rag_faiss_embedding_tpu.core import Config
+    from rag_faiss_embedding_tpu.rag import RAGManager
+
+    tmp = tmp_path_factory.mktemp("serve_del")
+    embedder = EmbeddingPipeline(model_name="offline-test", cfg=SMALL,
+                                 max_seq_length=64)
+    embedder.fit_tokenizer([d["content"] for d in DOCS], vocab_size=300)
+    cfg = Config(base_dir=tmp, vector_dimension=32, serve_watchdog_interval_s=0)
+    manager = RAGManager(config=cfg, embedder=embedder)
+    manager.initialize_database(DOCS)
+    eng = QueryEngine(manager.db, manager.vector_store, manager.embedder,
+                      generator=AnswerGenerator(backend="extractive"))
+
+    async def run():
+        app = make_app(eng, cfg, manager=manager)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.delete("/documents", json={
+                "ids": [9], "urls": ["https://ex/db"]})
+            deleted = await r.json()
+            r2 = await client.post("/search", json={
+                "text": DOCS[0]["content"], "top_k": 3, "generate": False})
+            hits = [d["id"] for d in (await r2.json())["similar_documents"]]
+            r3 = await client.delete("/documents", json={})
+            r4 = await client.delete("/documents", json={"ids": "nope"})
+            return r.status, deleted, hits, r3.status, r4.status
+        finally:
+            await client.close()
+
+    status, deleted, hits, bad1, bad2 = asyncio.run(run())
+    assert status == 200 and deleted["deleted"] == 2
+    assert deleted["documents"] == 1
+    assert hits == [4]  # only tpu.html remains searchable
+    assert bad1 == 422 and bad2 == 422
+
+
+def test_delete_documents_disabled_without_manager(engine):
+    [(status, _)] = _client_call(
+        engine, [("DELETE", "/documents", {"ids": [1]})]
+    )
+    assert status == 501

@@ -60,3 +60,24 @@ def test_duplicate_ids_get_fresh_dicts(tmp_path):
     a, b = db.get_documents_by_ids([3, 3])
     a["distance"] = 1.0
     assert "distance" not in b  # no aliasing between duplicate hits
+
+
+def test_delete_documents(tmp_path):
+    db = Database(tmp_path / "d.db")
+    ids = db.insert_documents([
+        {"url": f"https://ex/{i}", "content": f"doc {i}"} for i in range(5)
+    ])
+    assert db.delete_documents(ids[1:3]) == 2
+    assert db.get_document_count() == 3
+    assert db.get_document_by_id(ids[1]) is None
+    # absent / repeated ids are no-ops
+    assert db.delete_documents(ids[1:3]) == 0
+    assert db.delete_documents([]) == 0
+
+
+def test_delete_document_by_url(tmp_path):
+    db = Database(tmp_path / "d.db")
+    [did] = db.insert_documents([{"url": "https://ex/one", "content": "x"}])
+    assert db.delete_document_by_url("https://ex/one") == did
+    assert db.delete_document_by_url("https://ex/one") is None
+    assert db.get_document_count() == 0
