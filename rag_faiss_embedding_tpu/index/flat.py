@@ -198,13 +198,22 @@ class FlatIndex:
 
     # ------------------------------------------------------------- search
     def search(
-        self, queries: np.ndarray | jax.Array, k: int, chunk_size: int = 524288
+        self,
+        queries: np.ndarray | jax.Array,
+        k: int,
+        chunk_size: int = 524288,
+        filter_mask: Optional[np.ndarray | jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Exact top-k. Returns (values, indices) as device arrays, (Q, k).
 
         L2 values are squared distances ascending; IP values descend.
         Missing slots (k > ntotal) hold index -1 (FAISS convention,
         ``faiss_store.py:70``).
+
+        ``filter_mask``: optional (ntotal,) bool, True = searchable — the
+        FAISS ``IDSelector`` analog. Rides the tombstone mask: distances
+        stay exact over the allowed rows; selection never returns a
+        filtered row.
         """
         q = jnp.asarray(queries)
         if q.ndim == 1:
@@ -216,6 +225,17 @@ class FlatIndex:
                 jnp.full((nq, k), fill, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
             )
+        dead = self._dead
+        if filter_mask is not None:
+            block = ~jnp.asarray(filter_mask, jnp.bool_)
+            if block.shape[0] != self.ntotal:
+                raise ValueError(
+                    f"filter_mask has {block.shape[0]} entries, "
+                    f"index has {self.ntotal}"
+                )
+            block = jnp.pad(block, (0, self._capacity - self.ntotal))
+            dead = block if dead is None else (dead | block)
+            dead = jax.device_put(dead, self.device)
         if self.quantized:
             from ..ops.quantize import (
                 int8_rerank_search,
@@ -234,7 +254,7 @@ class FlatIndex:
                     chunk_size=min(chunk_size, self._capacity),
                     cand_per_chunk=max(2 * k, 16),
                     recall_target=self.recall_target,
-                    dead=self._dead,
+                    dead=dead,
                 )
             return int8_search(
                 q_i8, q_scale, q_sq, self._buf, self._scales, self._sq, k,
@@ -242,7 +262,7 @@ class FlatIndex:
                 chunk_size=min(chunk_size, self._capacity),
                 selector=self.selector,
                 recall_target=self.recall_target,
-                dead=self._dead,
+                dead=dead,
             )
         q = jax.device_put(q.astype(self.dtype), self.device)
         use_pallas = self._use_pallas
@@ -252,9 +272,9 @@ class FlatIndex:
             # for approx selection XLA's approx_max_k wins by far (174.6k)
             use_pallas = (
                 self.device.platform == "tpu" and self.selector == "exact"
-                and self._dead is None  # kernel has no tombstone operand
+                and dead is None  # kernel has no tombstone/filter operand
             )
-        if use_pallas and self._dead is None:
+        if use_pallas and dead is None:
             try:
                 from ..ops import pallas_scan
 
@@ -269,7 +289,7 @@ class FlatIndex:
             metric=self.metric, db_sq=self._sq,
             n_valid=self.ntotal, chunk_size=chunk_size,
             selector=self.selector, recall_target=self.recall_target,
-            dead=self._dead,
+            dead=dead,
         )
 
     # ------------------------------------------------------------- manage

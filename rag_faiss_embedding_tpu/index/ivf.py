@@ -64,6 +64,8 @@ def probe_scan_math(
     offsets,      # (nlist,) int32
     lengths,      # (nlist,) int32
     probe_lists,  # (Q, P) int32
+    filt=None,    # optional (next_id,) bool, True = searchable
+    *,
     k: int,
     window: int,  # C
 ):
@@ -89,7 +91,10 @@ def probe_scan_math(
     )
     q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)  # (Q,)
     dist = q_sq[:, None, None] - 2.0 * dots + sq
-    dist = jnp.where(valid & (ids >= 0), jnp.maximum(dist, 0.0), jnp.inf)
+    live = valid & (ids >= 0)
+    if filt is not None:
+        live = live & filt[jnp.maximum(ids, 0)]
+    dist = jnp.where(live, jnp.maximum(dist, 0.0), jnp.inf)
 
     flat_dist = dist.reshape(nq, p * window)
     flat_ids = ids.reshape(nq, p * window)
@@ -628,7 +633,18 @@ class IVFFlatIndex:
         queries: np.ndarray | jax.Array,
         k: int,
         nprobe: Optional[int] = None,
+        filter_mask: Optional[np.ndarray | jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
+        """Probe-limited top-k.
+
+        ``filter_mask``: optional (ntotal,) bool indexed by insertion id,
+        True = searchable (FAISS ``IDSelector`` analog). Probing is
+        unchanged — filtered rows are masked inside the probed lists and
+        in the spill/pending tiers, so distances stay exact over the
+        allowed set. Selective filters thin the probed candidate pool;
+        raise ``nprobe`` accordingly (standard IVF pre-filter behavior).
+        A filter routes the fused path to the XLA backend (the Pallas
+        kernel has no filter operand)."""
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
@@ -640,18 +656,37 @@ class IVFFlatIndex:
                 jnp.full((nq, k), fill, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
             )
+        filt = None
+        if filter_mask is not None:
+            filt = jnp.asarray(filter_mask, jnp.bool_)
+            if filt.shape[0] != self.ntotal:
+                raise ValueError(
+                    f"filter_mask has {filt.shape[0]} entries, "
+                    f"index has {self.ntotal} ids"
+                )
+            filt = jax.device_put(filt, self.device)
         if self._n_built == 0:
-            vals, pidx = self._pending.search(q, k)
             rowids = self._pending_dev()[3]
+            pfilt = None
+            if filt is not None:
+                # pending tier filters by POSITION: map through the rowid
+                # table (cleared entries are -1 = never searchable)
+                pr = rowids[: self._pending.ntotal]
+                pfilt = (pr >= 0) & filt[jnp.maximum(pr, 0)]
+            vals, pidx = self._pending.search(q, k, filter_mask=pfilt)
             pidx = jnp.where(pidx >= 0, rowids[jnp.maximum(pidx, 0)], -1)
             return vals, pidx
         if self.use_fused:
             spill = self._pending_dev() if self._pending.ntotal else None
+            backend = self.backend
+            if filt is not None and backend == "pallas":
+                logger.debug("filtered search: pallas backend -> xla")
+                backend = "xla"
             return fused_ivf_search(
                 q, self._cent_store, self._cent_sq,
                 self._sorted_vecs, self._sorted_scales,
                 self._sorted_sq, self._sorted_ids, spill,
-                self._sorted_shadow,
+                self._sorted_shadow, filt,
                 k=k, nprobe=nprobe, window=self._window, metric=self.metric,
                 recall_target=self.recall_target,
                 union_cap=self.union_cap, rerank_depth=self.rerank_depth,
@@ -660,12 +695,12 @@ class IVFFlatIndex:
                     "chunkmax" if self.union_mode == "auto"
                     else self.union_mode
                 ),
-                backend=self.backend, pallas_cap=self.pallas_cap,
+                backend=backend, pallas_cap=self.pallas_cap,
             )
-        return self._search_windowed(q, k, nprobe)
+        return self._search_windowed(q, k, nprobe, filt=filt)
 
     def _search_windowed(
-        self, q: jax.Array, k: int, nprobe: int
+        self, q: jax.Array, k: int, nprobe: int, filt=None
     ) -> Tuple[jax.Array, jax.Array]:
         """Per-query windowed path (L2, full-precision storage only) — the
         fused kernel's semantics reference; kept for A/B and small batches."""
@@ -684,7 +719,7 @@ class IVFFlatIndex:
             dist, ids = _probe_scan(
                 q.astype(jnp.float32),
                 self._sorted_vecs, self._sorted_sq, self._sorted_ids,
-                self._offsets, self._lengths, probe_lists,
+                self._offsets, self._lengths, probe_lists, filt,
                 k=k, window=self._window,
             )
         else:
@@ -697,14 +732,18 @@ class IVFFlatIndex:
                     q_pad[start : start + qc],
                     self._sorted_vecs, self._sorted_sq, self._sorted_ids,
                     self._offsets, self._lengths,
-                    p_pad[start : start + qc],
+                    p_pad[start : start + qc], filt,
                     k=k, window=self._window,
                 ))
             dist = jnp.concatenate([p[0] for p in parts])[:nq]
             ids = jnp.concatenate([p[1] for p in parts])[:nq]
         if self._pending.ntotal:
-            pvals, pidx = self._pending.search(q, k)
             rowids = self._pending_dev()[3]
+            pfilt = None
+            if filt is not None:
+                pr = rowids[: self._pending.ntotal]
+                pfilt = (pr >= 0) & filt[jnp.maximum(pr, 0)]
+            pvals, pidx = self._pending.search(q, k, filter_mask=pfilt)
             pidx = jnp.where(
                 pidx >= 0, rowids[jnp.maximum(pidx, 0)], -1
             )

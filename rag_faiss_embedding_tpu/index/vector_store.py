@@ -76,19 +76,38 @@ class VectorStore:
         logger.debug("added %d vectors (ntotal=%d)", len(ids), self.ntotal)
 
     def search(
-        self, query_vectors: np.ndarray, k: int = 5
+        self,
+        query_vectors: np.ndarray,
+        k: int = 5,
+        allowed_doc_ids: Optional[Sequence[int]] = None,
     ) -> Tuple[np.ndarray, List[List[int]]]:
         """Search and map row positions to document ids.
 
         Accepts a single vector or a batch. Returns (distances, doc_ids)
         with invalid slots dropped, mirroring ``faiss_store.py:49-81`` —
         but batched: distances is a list-of-arrays aligned with doc_ids.
+
+        ``allowed_doc_ids``: optional allowlist of DOCUMENT ids (filtered
+        search, the FAISS ``IDSelector`` analog): translated to a
+        row-position mask through the id mapping and applied inside the
+        scan, so only allowed documents are scored and returned.
         """
         q = np.asarray(query_vectors, dtype=np.float32)
         single = q.ndim == 1
         if single:
             q = q.reshape(1, -1)
-        values, indices = self.index.search(q, k)
+        kwargs = {}
+        if allowed_doc_ids is not None:
+            allowed = {int(i) for i in allowed_doc_ids}
+            mask = np.fromiter(
+                (d in allowed for d in self.doc_ids),
+                dtype=bool, count=len(self.doc_ids),
+            )
+            n = self.index.ntotal
+            if len(mask) < n:  # defensive: sequential-id fallback mapping
+                mask = np.pad(mask, (0, n - len(mask)))
+            kwargs["filter_mask"] = mask[:n]
+        values, indices = self.index.search(q, k, **kwargs)
         values = np.asarray(values)
         indices = np.asarray(indices)
         all_ids: List[List[int]] = []

@@ -144,7 +144,19 @@ def _select_union(probes: jax.Array, nlist: int, union_cap: int) -> jax.Array:
     return jnp.sort(u)
 
 
-def _score_rows(qf, q_i8, q_scale, rows, rscale, rsq, rid, metric):
+def _live_rows(rid, filt):
+    """Searchable-row mask: block padding / tombstones (id -1) plus the
+    optional id-indexed search filter (FAISS ``IDSelector`` analog). The
+    filter gather rides the already-gathered id lane — ~1/D of the block
+    gather's traffic."""
+    live = rid >= 0
+    if filt is not None:
+        live = live & filt[jnp.maximum(rid, 0)]
+    return live
+
+
+def _score_rows(qf, q_i8, q_scale, rows, rscale, rsq, rid, metric,
+                filt=None):
     """Exact (metric-internal, higher-better) scores of queries vs rows."""
     if rscale is not None:
         dots = jnp.dot(q_i8, rows.T, preferred_element_type=jnp.int32)
@@ -157,7 +169,7 @@ def _score_rows(qf, q_i8, q_scale, rows, rscale, rsq, rid, metric):
             precision=_matmul_precision(q_cast),
         )
     scores = 2.0 * dots - rsq[None, :] if metric == "L2" else dots
-    return jnp.where(rid[None, :] >= 0, scores, NEG_INF)
+    return jnp.where(_live_rows(rid, filt)[None, :], scores, NEG_INF)
 
 
 def _chunk_body(
@@ -176,6 +188,7 @@ def _chunk_body(
     metric: str,
     recall_target: float,
     rerank_depth: int,
+    filt: Optional[jax.Array] = None,  # (next_id,) bool, True = searchable
 ) -> Tuple[jax.Array, jax.Array]:
     """Search one query chunk against its union blocks. Returns
     (values, ids) on the INTERNAL score scale (higher better)."""
@@ -187,7 +200,8 @@ def _chunk_body(
         scales.reshape(-1, window)[u].reshape(-1)
         if scales is not None else None
     )
-    scores = _score_rows(q, q_i8, q_scale, rows, rscale, rsq, rid, metric)
+    scores = _score_rows(q, q_i8, q_scale, rows, rscale, rsq, rid, metric,
+                         filt=filt)
     # select WIDER than k, then exact top-k over the candidates: the
     # PartialReduce's per-tile misses land in ranks k..2k far more often
     # than outside the widened set, so this buys ~half a recall point for
@@ -211,7 +225,10 @@ def _chunk_body(
             "qd,qkd->qk", q, srows, preferred_element_type=jnp.float32
         )
         sc = 2.0 * dots - rsq[pos] if metric == "L2" else dots
-        sc = jnp.where(best_i >= 0, sc, NEG_INF)
+        # re-mask: with fewer than k_cand live candidates the PartialReduce
+        # pads from masked slots, and the exact re-score would RESURRECT a
+        # filtered/tombstoned row
+        sc = jnp.where(_live_rows(best_i, filt), sc, NEG_INF)
         best_v, sel = lax.top_k(sc, min(k, k_cand))
         best_i = jnp.take_along_axis(best_i, sel, axis=1)
     return best_v, best_i
@@ -227,6 +244,7 @@ def fused_ivf_search_math(
     sorted_ids: jax.Array,
     spill: Optional[Tuple[jax.Array, ...]],  # (codes, scales|None, sq, ids)
     shadow: Optional[jax.Array] = None,  # bf16 rerank rows (int8 storage)
+    filt: Optional[jax.Array] = None,    # (next_id,) bool, True = searchable
     *,
     k: int,
     nprobe: int,
@@ -346,6 +364,11 @@ def fused_ivf_search_math(
                 "backend='pallas' requires full-precision storage "
                 "(int8/shadow configs run the XLA backend)"
             )
+        if filt is not None:
+            raise ValueError(
+                "backend='pallas' has no filter operand; filtered "
+                "searches run the XLA backend"
+            )
         bb = pick_bb(window, d, codes.dtype.itemsize, u_all.shape[1])
         u_pad = (-u_all.shape[1]) % bb
         if u_pad:
@@ -366,7 +389,8 @@ def fused_ivf_search_math(
         best_v = vals_p[:nq][inv]
         best_i = ids_p[:nq][inv]
         return _spill_and_finalize(
-            best_v, best_i, qf, q_sq, spill, quantized, metric, k, nq
+            best_v, best_i, qf, q_sq, spill, quantized, metric, k, nq,
+            filt=filt,
         )
 
     if quantized:
@@ -379,7 +403,7 @@ def fused_ivf_search_math(
         codes=codes, scales=scales,
         sorted_sq=sorted_sq, sorted_ids=sorted_ids, shadow=shadow,
         k=k, window=window, metric=metric,
-        recall_target=recall_target, rerank_depth=rerank_depth,
+        recall_target=recall_target, rerank_depth=rerank_depth, filt=filt,
     )
     # 4. chunks advance as a scan of VMAPPED super-batches: inside one
     # super-batch the gathers/matmuls of several chunks are independent, so
@@ -435,12 +459,13 @@ def fused_ivf_search_math(
     best_v = vals_p[:nq][inv]
     best_i = ids_p[:nq][inv]
     return _spill_and_finalize(
-        best_v, best_i, qf, q_sq, spill, quantized, metric, k, nq
+        best_v, best_i, qf, q_sq, spill, quantized, metric, k, nq,
+        filt=filt,
     )
 
 
 def _spill_and_finalize(best_v, best_i, qf, q_sq, spill, quantized, metric,
-                        k, nq):
+                        k, nq, filt=None):
     """Shared tail of both chunk backends: spill-tier merge + conversion
     from the internal higher-better scale to the FAISS return scale."""
     # spill tier (window-cap overflow + streaming adds): ONE whole-batch
@@ -452,7 +477,8 @@ def _spill_and_finalize(best_v, best_i, qf, q_sq, spill, quantized, metric,
         else:
             qf_i8 = qf_scale = None
         sscores = _score_rows(
-            qf, qf_i8, qf_scale, s_codes, s_scales, s_sq, s_ids, metric
+            qf, qf_i8, qf_scale, s_codes, s_scales, s_sq, s_ids, metric,
+            filt=filt,
         )
         k_spill = min(k, sscores.shape[1])
         if sscores.shape[1] > 8192:
@@ -510,6 +536,7 @@ def fused_ivf_search(
     sorted_ids: jax.Array,
     spill: Optional[Tuple[jax.Array, ...]] = None,
     shadow: Optional[jax.Array] = None,
+    filt: Optional[jax.Array] = None,
     *,
     k: int,
     nprobe: int,
@@ -528,7 +555,10 @@ def fused_ivf_search(
     ``backend``: "auto" picks the Pallas union-scan kernel when eligible
     (TPU, full-precision storage, aligned shapes — ops/pallas_ivf.py),
     else the XLA chunk path; "xla" / "pallas" force a choice ("pallas"
-    off-TPU runs in interpret mode, for tests).
+    off-TPU runs in interpret mode, for tests). A search filter (``filt``:
+    (next_id,) bool, True = searchable — the FAISS ``IDSelector`` analog)
+    auto-routes to the XLA backend: the Pallas kernel has no filter
+    operand.
 
     Returns (values, indices), (Nq, k)."""
     nq, dim = q.shape
@@ -543,6 +573,8 @@ def fused_ivf_search(
         )
     qc = min(qc, max(8, nq))
     interpret = False
+    if filt is not None and backend == "auto":
+        backend = "xla"
     if backend != "xla":
         from .pallas_ivf import pallas_eligible
 
@@ -572,7 +604,7 @@ def fused_ivf_search(
         interpret = backend == "pallas" and platform != "tpu"
     return _fused_jit(
         jnp.asarray(q, jnp.float32), centroids, cent_sq, codes, scales,
-        sorted_sq, sorted_ids, spill, shadow,
+        sorted_sq, sorted_ids, spill, shadow, filt,
         k=k, nprobe=nprobe, window=window, metric=metric,
         recall_target=recall_target, union_cap=union_cap, qc=qc,
         rerank_depth=rerank_depth, union_mode=union_mode,

@@ -261,7 +261,12 @@ class ShardedFlatIndex:
         self._sq = sq_update(self._sq, sq_new, at)
         self.ntotal += n_new
 
-    def search(self, queries, k: int, chunk_size: int = 65536):
+    def search(self, queries, k: int, chunk_size: int = 65536,
+               filter_mask=None):
+        """``filter_mask``: optional (ntotal,) bool, True = searchable
+        (FAISS ``IDSelector`` analog). OR-ed into the tombstone mask and
+        sharded over the db axis, so each device masks its local rows with
+        no cross-device traffic."""
         q = jnp.asarray(queries, self.dtype)
         if q.ndim == 1:
             q = q[None, :]
@@ -272,12 +277,26 @@ class ShardedFlatIndex:
                 jnp.full((nq, k), fill, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
             )
+        dead = self._dead
+        if filter_mask is not None:
+            block = ~jnp.asarray(filter_mask, jnp.bool_)
+            if block.shape[0] != self.ntotal:
+                raise ValueError(
+                    f"filter_mask has {block.shape[0]} entries, "
+                    f"index has {self.ntotal}"
+                )
+            block = jnp.pad(block, (0, self._capacity - self.ntotal))
+            combine = jax.jit(
+                (lambda d, b: d | b) if dead is not None else (lambda b: b),
+                out_shardings=self._sharding,
+            )
+            dead = combine(dead, block) if dead is not None else combine(block)
         q = jax.device_put(q, self._replicated)
         return sharded_exact_search(
             self.mesh, q, self._buf, k,
             metric=self.metric, db_sq=self._sq, n_valid=self.ntotal,
             chunk_size=chunk_size, db_axis=self.db_axis,
-            selector=self.selector, dead=self._dead,
+            selector=self.selector, dead=dead,
         )
 
     @property

@@ -56,13 +56,19 @@ from ..ops.quantize import quantize_rows
 logger = get_logger(__name__)
 
 
-def _tier_scan(q, vecs, sq, ids, count, k, metric="L2"):
+def _tier_scan(q, vecs, sq, ids, count, k, metric="L2", filt=None):
     """Local exact scan over a per-device tier (spill / pending): returns
-    (values, global ids) with invalid slots masked to (inf|-inf, -1)."""
+    (values, global ids) with invalid slots masked to (inf|-inf, -1).
+    ``filt`` ((next_id,) bool, True = searchable) masks rows BEFORE
+    selection so filtered rows never consume top-k slots."""
+    dead = None
+    if filt is not None:
+        dead = ~((ids >= 0) & filt[jnp.maximum(ids, 0)])
     vals, idx = dist_ops._exact_search_impl(
         q, vecs, k, metric=metric, db_sq=sq,
         n_valid=count.astype(jnp.int32),
         chunk_size=max(1, vecs.shape[0]),
+        dead=dead,
     )
     gids = jnp.where(idx >= 0, ids[jnp.maximum(idx, 0)], -1)
     fill = jnp.inf if metric == "L2" else -jnp.inf
@@ -93,25 +99,29 @@ def _build_sharded_fused(
     quantized: bool, has_spill: bool, has_pending: bool,
     union_mode: str = "minrank", metric: str = "L2",
     backend: str = "xla", interpret: bool = False,
+    has_filter: bool = False,
 ):
     n_tiers = has_spill + has_pending
 
-    def kernel(q, cent, cent_sq, codes, scales, sq, ids, *tiers):
+    def kernel(q, cent, cent_sq, codes, scales, sq, ids, *rest):
+        rest = list(rest)
+        # the filter is REPLICATED (global ids index it on every device)
+        filt = rest.pop(0) if has_filter else None
         vals, gids = fused_ivf_search_math(
             q, cent, cent_sq, codes[0], scales[0] if quantized else None,
-            sq[0], ids[0], None,
+            sq[0], ids[0], None, filt=filt,
             k=k, nprobe=nprobe, window=window, metric=metric,
             recall_target=recall_target, union_cap=union_cap, qc=qc,
             union_mode=union_mode,
             backend=backend, interpret=interpret,
         )
         parts = [(vals, gids)]
-        rest = list(tiers)
         while rest:
             t_vecs, t_sq, t_ids, t_count = rest[:4]
             rest = rest[4:]
             parts.append(_tier_scan(
-                q, t_vecs[0], t_sq[0], t_ids[0], t_count[0], k, metric
+                q, t_vecs[0], t_sq[0], t_ids[0], t_count[0], k, metric,
+                filt=filt,
             ))
         vals, gids = (
             _merge_local(parts, k, metric) if len(parts) > 1 else parts[0]
@@ -133,12 +143,13 @@ def _build_sharded_fused(
         return out_v, out_i
 
     scale_spec = P(db_axis)
+    filt_spec = (P(),) if has_filter else ()
     tier_specs = (P(db_axis),) * (4 * n_tiers)
     mapped = jax.shard_map(
         kernel,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(db_axis), scale_spec, P(db_axis),
-                  P(db_axis)) + tier_specs,
+                  P(db_axis)) + filt_spec + tier_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -496,8 +507,14 @@ class ShardedIVFIndex:
 
     # -------------------------------------------------------------- search
     def search(
-        self, queries, k: int, nprobe: Optional[int] = None
+        self, queries, k: int, nprobe: Optional[int] = None,
+        filter_mask=None,
     ) -> Tuple[jax.Array, jax.Array]:
+        """``filter_mask``: optional (ntotal,) bool indexed by global
+        insertion id, True = searchable (FAISS ``IDSelector`` analog).
+        Replicated to every device; each local scan masks rows BEFORE
+        selection. Forces the XLA per-device backend (the Pallas kernel
+        has no filter operand)."""
         nprobe = min(nprobe or self.nprobe, self.nlist)
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
@@ -509,6 +526,15 @@ class ShardedIVFIndex:
                 jnp.full((nq, k), fill, jnp.float32),
                 jnp.full((nq, k), -1, jnp.int32),
             )
+        filt = None
+        if filter_mask is not None:
+            filt = jnp.asarray(filter_mask, jnp.bool_)
+            if filt.shape[0] != self.ntotal:
+                raise ValueError(
+                    f"filter_mask has {filt.shape[0]} entries, "
+                    f"index has {self.ntotal} ids"
+                )
+            filt = jax.device_put(filt, self._replicated)
         q = jax.device_put(q, self._replicated)
         if len(self._stream_ids) and self._pending_dev is None:
             self._refresh_pending()
@@ -526,7 +552,7 @@ class ShardedIVFIndex:
             union_cap=union_cap,
         )
         backend, interpret = "xla", False
-        if self.backend != "xla":
+        if self.backend != "xla" and filt is None:
             from ..ops.pallas_ivf import pallas_eligible
 
             # the MESH decides the platform (a registered TPU plugin may own
@@ -547,14 +573,16 @@ class ShardedIVFIndex:
             self._pending_dev is not None,
             union_mode="chunkmax" if self.nlist > 2048 else "minrank",
             metric=self.metric, backend=backend, interpret=interpret,
+            has_filter=filt is not None,
         )
         scales = (
             self._scales if self.quantized
             else jnp.zeros((self.n_dev, 1), jnp.float32)
         )
+        args = (filt,) + tiers if filt is not None else tiers
         vals, ids = fn(
             q, self._cent_store, self._cent_sq, self._vecs, scales,
-            self._sq, self._ids, *tiers,
+            self._sq, self._ids, *args,
         )
         if vals.shape[1] < k:
             pad = k - vals.shape[1]

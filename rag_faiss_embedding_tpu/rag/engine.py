@@ -48,17 +48,37 @@ class QueryEngine:
         self.context_token_budget = context_token_budget
 
     # -------------------------------------------------------------- search
-    def search(self, query: str, top_k: int = 5) -> List[Dict]:
-        """Embed -> top-k -> fetch -> score (``query.py:21-55``)."""
+    def _resolve_where(self, where: Optional[Dict]) -> Optional[List[int]]:
+        """Metadata predicate -> allowed doc ids (pre-filtering); None
+        means unfiltered. An empty allowlist short-circuits to no hits."""
+        if where is None:
+            return None
+        return self.db.select_ids(where)
+
+    def search(self, query: str, top_k: int = 5,
+               where: Optional[Dict] = None) -> List[Dict]:
+        """Embed -> top-k -> fetch -> score (``query.py:21-55``).
+
+        ``where``: optional metadata predicate (``Database.select_ids``
+        keys, e.g. ``{"url_prefix": "https://docs."}``) — resolved to a
+        doc-id allowlist and applied INSIDE the scan (filtered search).
+        An invalid predicate raises ``ValueError`` (caller input error);
+        runtime search failures degrade to an empty result."""
+        allowed = self._resolve_where(where)  # ValueError propagates
         try:
             emb = self.embedder.embed_query(query)
-            return self.search_by_vector(emb, top_k)
+            return self.search_by_vector(emb, top_k, allowed_doc_ids=allowed)
         except Exception:
             logger.exception("search error")
             return []
 
-    def search_by_vector(self, query_vector, top_k: int = 5) -> List[Dict]:
-        distances, doc_ids = self.vector_store.search(query_vector, top_k)
+    def search_by_vector(self, query_vector, top_k: int = 5,
+                         allowed_doc_ids=None) -> List[Dict]:
+        if allowed_doc_ids is not None and not len(allowed_doc_ids):
+            return []
+        distances, doc_ids = self.vector_store.search(
+            query_vector, top_k, allowed_doc_ids=allowed_doc_ids
+        )
         docs = self.db.get_documents_by_ids(doc_ids)
         results: List[Dict] = []
         for doc, doc_id, dist in zip(docs, doc_ids, distances):
@@ -75,7 +95,8 @@ class QueryEngine:
         logger.debug("query returned %d documents", len(results))
         return results
 
-    def search_batch(self, queries: List[str], top_k: int = 5) -> List[List[Dict]]:
+    def search_batch(self, queries: List[str], top_k: int = 5,
+                     where: Optional[Dict] = None) -> List[List[Dict]]:
         """Batched variant for the API server: one TPU forward + one scan
         for the whole batch (no reference analog — it loops one by one).
 
@@ -86,12 +107,17 @@ class QueryEngine:
         shapes cap it)."""
         import numpy as np
 
+        allowed = self._resolve_where(where)
+        if allowed is not None and not len(allowed):
+            return [[] for _ in queries]
         embs = self.embedder.generate_embeddings(queries)
         nq = embs.shape[0]
         bucket = 1 << max(nq - 1, 0).bit_length()
         if bucket > nq:
             embs = np.pad(embs, ((0, bucket - nq), (0, 0)))
-        dists, ids = self.vector_store.search(embs, top_k)
+        dists, ids = self.vector_store.search(
+            embs, top_k, allowed_doc_ids=allowed
+        )
         dists, ids = dists[:nq], ids[:nq]
         out = []
         for row_d, row_ids in zip(dists, ids):

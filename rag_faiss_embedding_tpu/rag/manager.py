@@ -140,12 +140,22 @@ class RAGManager:
             self.initialize_database()
 
     # -------------------------------------------------------------- search
-    def search_similar_documents(self, query: str, k: Optional[int] = None) -> List[Dict]:
-        """Embed -> scan -> fetch with raw distance (``:211-238``)."""
+    def search_similar_documents(
+        self, query: str, k: Optional[int] = None,
+        where: Optional[Dict] = None,
+    ) -> List[Dict]:
+        """Embed -> scan -> fetch with raw distance (``:211-238``).
+
+        ``where``: optional metadata predicate (``Database.select_ids``
+        keys) applied inside the scan — filtered search."""
         k = k or self.config.top_k
         try:
+            allowed = self.db.select_ids(where) if where is not None else None
+            if allowed is not None and not allowed:
+                return []
             emb = self.embedder.embed_query(query)
-            distances, doc_ids = self.vector_store.search(emb, k)
+            distances, doc_ids = self.vector_store.search(
+                emb, k, allowed_doc_ids=allowed)
             docs = self.db.get_documents_by_ids(doc_ids)
             results = []
             for doc, dist in zip(docs, distances):

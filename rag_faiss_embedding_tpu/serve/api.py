@@ -70,7 +70,14 @@ class SearchService:
                 pass
             self._task = None
 
-    async def search(self, text: str, top_k: int) -> List[dict]:
+    async def search(self, text: str, top_k: int,
+                     where: Optional[dict] = None) -> List[dict]:
+        if where is not None:
+            # filtered queries run unbatched: the coalescer shares ONE scan
+            # across co-riders, and filters are per-request
+            return await asyncio.to_thread(
+                self.engine.search, text, top_k, where
+            )
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self.queue.put(_PendingQuery(text, top_k, fut))
         return await fut
@@ -202,7 +209,16 @@ def make_app(engine, config: Optional[Config] = None, manager=None):
                 {"detail": "'top_k' must be a positive integer"}, status=422
             )
         generate = bool(body.get("generate", True))
-        docs = await service.search(text, top_k)
+        where = body.get("filter")
+        if where is not None and not isinstance(where, dict):
+            return web.json_response(
+                {"detail": "'filter' must be an object of metadata "
+                           "predicates"}, status=422
+            )
+        try:
+            docs = await service.search(text, top_k, where=where)
+        except ValueError as e:  # unknown filter key
+            return web.json_response({"detail": str(e)}, status=422)
         response = {"similar_documents": docs}
         if generate:
             response["generated_response"] = await asyncio.to_thread(

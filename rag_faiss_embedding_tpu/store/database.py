@@ -150,6 +150,66 @@ class Database:
         ).fetchall()
         return [_row_to_doc(r) for r in rows]
 
+    # allowed metadata-predicate keys -> SQL fragment builders (search-time
+    # filtering; no reference analog — vector-DB table stakes)
+    _WHERE_KEYS = {
+        "url_prefix": ("url LIKE ? ESCAPE '\\'", "prefix"),
+        "url_contains": ("url LIKE ? ESCAPE '\\'", "contains"),
+        "title_contains": ("title LIKE ? ESCAPE '\\'", "contains"),
+        "content_contains": ("content LIKE ? ESCAPE '\\'", "contains"),
+        "created_after": ("created_at > ?", "raw"),
+        "created_before": ("created_at < ?", "raw"),
+        "updated_after": ("updated_at > ?", "raw"),
+    }
+
+    @staticmethod
+    def _like_escape(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
+
+    def select_ids(self, where: Dict) -> List[int]:
+        """Resolve a structured metadata predicate to document ids.
+
+        ``where`` keys (AND-ed): ``ids`` (explicit allowlist),
+        ``url_prefix``, ``url_contains``, ``title_contains``,
+        ``content_contains``, ``created_after`` / ``created_before`` /
+        ``updated_after`` (ISO-8601 strings). All values are SQL
+        parameters (LIKE wildcards in user input are escaped). Unknown
+        keys raise ``ValueError``. Feeds the index tiers' search-time
+        ``filter_mask`` (pre-filtering: predicate -> allowed ids -> masked
+        scan)."""
+        clauses: List[str] = []
+        params: List = []
+        for key, value in where.items():
+            if key == "ids":
+                ids = [int(i) for i in value]
+                if not ids:
+                    return []
+                clauses.append(
+                    f"id IN ({','.join('?' * len(ids))})"
+                )
+                params.extend(ids)
+                continue
+            if key not in self._WHERE_KEYS:
+                raise ValueError(
+                    f"unknown filter key {key!r}; allowed: "
+                    f"{['ids', *self._WHERE_KEYS]}"
+                )
+            frag, kind = self._WHERE_KEYS[key]
+            if kind == "prefix":
+                params.append(self._like_escape(str(value)) + "%")
+            elif kind == "contains":
+                params.append("%" + self._like_escape(str(value)) + "%")
+            else:
+                params.append(str(value))
+            clauses.append(frag)
+        sql = "SELECT id FROM documents"
+        if clauses:
+            sql += " WHERE " + " AND ".join(clauses)
+        rows = self.conn.execute(sql + " ORDER BY id", params).fetchall()
+        return [int(r[0]) for r in rows]
+
     def get_document_count(self) -> int:
         return int(self.conn.execute("SELECT COUNT(*) FROM documents").fetchone()[0])
 
