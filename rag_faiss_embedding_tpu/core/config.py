@@ -62,7 +62,7 @@ class Config:
     # "exact" (top_k), "approx" (approx_max_k), "rerank" (int8 + bf16-shadow
     # exact rerank).
     search_selector: str = "auto"
-    index_kind: str = "flat"  # "flat" (exact) or "ivf" (ANN tier)
+    index_kind: str = "flat"  # "flat" (exact), "ivf" (ANN), "pq" (memory)
     ivf_nlist: int = 1024
     ivf_nprobe: int = 8
     ivf_balance: str = "spill"  # "spill" (exact overflow tier) or "reassign"
@@ -140,8 +140,8 @@ class Config:
                 "search_selector='rerank' requires index_dtype='int8' "
                 "(the bf16-shadow rerank re-scores quantized candidates)"
             )
-        if self.index_kind not in ("flat", "ivf"):
-            raise ValueError("index_kind must be 'flat' or 'ivf'")
+        if self.index_kind not in ("flat", "ivf", "pq"):
+            raise ValueError("index_kind must be 'flat', 'ivf' or 'pq'")
         if self.ivf_nlist <= 0 or self.ivf_nprobe <= 0:
             raise ValueError("ivf_nlist and ivf_nprobe must be positive")
         if self.ivf_balance not in ("spill", "reassign"):

@@ -179,6 +179,10 @@ class VectorStore:
             from .ivf import IVFFlatIndex
 
             self.index = IVFFlatIndex.from_state_dict(state)
+        elif kind == "pq":
+            from .pq import PQIndex
+
+            self.index = PQIndex.from_state_dict(state)
         elif kind == "sharded_flat":
             from ..parallel.sharded import ShardedFlatIndex
 

@@ -66,6 +66,10 @@ class RAGManager:
                 dtype=self.config.index_dtype,
                 balance=self.config.ivf_balance,
             )
+        elif self.index_kind == "pq":
+            from ..index.pq import PQIndex
+
+            index = PQIndex(dim, metric=self.config.index_metric)
         self.vector_store = VectorStore(
             dimension=dim,
             metric=self.config.index_metric,

@@ -1,0 +1,198 @@
+"""Product quantization: codec, ADC scan, PQIndex surface.
+
+Correctness is split in two (CLAUDE.md conventions):
+- the SCAN must rank-match a float64 ADC oracle (exact distances to the
+  reconstructions) — bit-level kernel correctness, tested in "f32" compute;
+- the CODEC's quality (true recall) is a separate axis, asserted loosely
+  (PQ recall is codec-bound by design, like FAISS IndexPQ).
+"""
+
+import numpy as np
+import pytest
+
+from rag_faiss_embedding_tpu.index.pq import PQIndex
+from rag_faiss_embedding_tpu.ops.pq import (
+    pq_decode,
+    pq_encode,
+    pq_search,
+    train_pq,
+)
+
+from .test_distance import assert_rank_match
+
+
+def adc_oracle(q, rec, k, metric):
+    """Float64 exact top-k against the reconstructions."""
+    q64, r64 = q.astype(np.float64), rec.astype(np.float64)
+    if metric == "L2":
+        d = ((q64[:, None] - r64[None]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    else:
+        d = q64 @ r64.T
+        order = np.argsort(-d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, order, axis=1), order
+
+
+def clustered(rng, n_clusters=32, per=128, d=64, spread=0.3):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 3
+    pts = (centers[:, None] + spread
+           * rng.standard_normal((n_clusters, per, d))
+           ).reshape(-1, d).astype(np.float32)
+    return pts
+
+
+# -------------------------------------------------------------------- codec
+def test_codec_round_trip_and_quality(rng):
+    pts = clustered(rng)
+    cb = train_pq(pts, m=16, n_iters=20, seed=0)
+    assert cb.shape == (16, 256, 4)
+    codes, rsq = pq_encode(cb, pts)
+    assert codes.shape == (len(pts), 16) and codes.dtype == np.uint8
+    rec = np.asarray(pq_decode(cb, codes))
+    rel_mse = (np.sum((rec - pts) ** 2, -1).mean()
+               / np.sum(pts ** 2, -1).mean())
+    assert rel_mse < 0.02, rel_mse  # tight clusters compress well
+    # stored norms are the exact reconstruction norms (the ADC identity)
+    np.testing.assert_allclose(
+        np.asarray(rsq), np.sum(rec.astype(np.float64) ** 2, -1),
+        rtol=1e-5,
+    )
+    # codes are stable under re-encode of the reconstruction
+    codes2, _ = pq_encode(cb, rec)
+    assert (np.asarray(codes) == np.asarray(codes2)).mean() > 0.999
+
+
+def test_train_pq_validations(rng):
+    with pytest.raises(ValueError):
+        train_pq(rng.standard_normal((10, 15)).astype(np.float32), m=4)
+    with pytest.raises(ValueError):
+        train_pq(np.zeros((0, 16), np.float32), m=4)
+    # fewer points than ksub: codebook shrinks, still functional
+    pts = rng.standard_normal((40, 16)).astype(np.float32)
+    cb = train_pq(pts, m=4, seed=0)
+    assert cb.shape == (4, 40, 4)
+    codes, _ = pq_encode(cb, pts)
+    assert int(np.asarray(codes).max()) < 40
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP"])
+def test_pq_search_matches_adc_oracle(rng, metric):
+    """The scan in f32 compute rank-matches exact search over the
+    reconstructions — kernel correctness, independent of codec quality."""
+    pts = clustered(rng)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    cb = train_pq(pts, m=16, n_iters=15, seed=0)
+    codes, rsq = pq_encode(cb, pts)
+    vals, ids = pq_search(
+        q, codes, cb, rsq, 10, metric=metric, n_valid=len(pts),
+        chunk_size=1024, compute_dtype="f32",
+    )
+    rec = np.asarray(pq_decode(cb, codes))
+    ref_vals, ref_ids = adc_oracle(q, rec, 10, metric)
+    assert_rank_match(vals, ids, ref_vals, ref_ids)
+
+
+def test_pq_true_recall_improves_with_m(rng):
+    pts = clustered(rng, spread=0.5)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    d = ((q[:, None] - pts[None]) ** 2).sum(-1)
+    truth = np.argsort(d, 1)[:, :10]
+
+    def recall(m):
+        cb = train_pq(pts, m=m, n_iters=15, seed=0)
+        codes, rsq = pq_encode(cb, pts)
+        _, ids = pq_search(q, codes, cb, rsq, 10, n_valid=len(pts),
+                           chunk_size=4096, compute_dtype="f32")
+        ids = np.asarray(ids)
+        return np.mean([len(set(a) & set(b)) / 10
+                        for a, b in zip(ids.tolist(), truth.tolist())])
+
+    r8, r32 = recall(8), recall(32)
+    assert r32 > r8  # code expressiveness is the recall lever
+    assert r32 > 0.6, (r8, r32)
+
+
+# ------------------------------------------------------------------- index
+def test_pq_index_surface(rng):
+    pts = clustered(rng)
+    idx = PQIndex(64, m=16, compute_dtype="f32")
+    idx.build(pts)
+    assert idx.ntotal == len(pts) and idx.is_trained
+    # memory check: 16 B/row codes vs 256 B/row fp32
+    assert idx._codes.dtype == np.uint8 and idx._codes.shape[1] == 16
+    # self-retrieval through the reconstruction
+    _, ids = idx.search(pts[:8], 1)
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).mean() >= 0.9
+    # streaming add after build reuses the codebooks
+    more = clustered(rng, n_clusters=4, per=16)
+    idx.add(more)
+    assert idx.ntotal == len(pts) + 64
+    # edge: k > ntotal, empty index
+    empty = PQIndex(64, m=16)
+    _, ids = empty.search(pts[:2], 3)
+    assert (np.asarray(ids) == -1).all()
+    small = PQIndex(16, m=4, compute_dtype="f32")
+    small.add(rng.standard_normal((4, 16)).astype(np.float32))
+    vals, ids = small.search(rng.standard_normal((2, 16)).astype(np.float32), 9)
+    ids = np.asarray(ids)
+    assert ids.shape == (2, 9) and (ids[:, 4:] == -1).all()
+
+
+def test_pq_index_remove_and_filter(rng):
+    pts = clustered(rng)
+    idx = PQIndex(64, m=16, compute_dtype="f32")
+    idx.build(pts)
+    q = pts[:4]
+    assert idx.remove_ids(np.arange(4)) == 4
+    _, ids = idx.search(q, 3)
+    assert not np.isin(np.asarray(ids), np.arange(4)).any()
+    assert idx.nlive == len(pts) - 4
+    mask = np.zeros(len(pts), bool)
+    mask[100:200] = True
+    _, ids = idx.search(q, 5, filter_mask=mask)
+    ids = np.asarray(ids)
+    assert ((ids >= 100) & (ids < 200) | (ids == -1)).all()
+    with pytest.raises(ValueError):
+        idx.search(q, 3, filter_mask=np.ones(3, bool))
+
+
+def test_pq_persistence_round_trip(rng, tmp_path):
+    from rag_faiss_embedding_tpu.index import VectorStore
+
+    pts = clustered(rng, n_clusters=8, per=32)
+    idx = PQIndex(64, m=16, compute_dtype="f32")
+    idx.build(pts)
+    idx.remove_ids(np.array([7]))
+    store = VectorStore(dimension=64, index_path=tmp_path / "pq.idx",
+                        index=idx)
+    store.doc_ids = list(range(idx.ntotal))
+    q = pts[:4]
+    d1, i1 = store.search(q, k=5)
+    store.save_index()
+    loaded = VectorStore(dimension=64, index_path=tmp_path / "pq.idx")
+    assert isinstance(loaded.index, PQIndex)
+    assert loaded.index.compute_dtype == "f32"
+    assert loaded.index.nlive == idx.nlive
+    d2, i2 = loaded.search(q, k=5)
+    assert i1 == i2  # codes reload bit-exact -> identical ADC ranking
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_pq_through_config_and_manager(tmp_path):
+    from .test_rag import DOCS, SMALL
+    from rag_faiss_embedding_tpu.core import Config
+    from rag_faiss_embedding_tpu.models import EmbeddingPipeline
+    from rag_faiss_embedding_tpu.rag import RAGManager
+
+    with pytest.raises(ValueError):
+        Config(base_dir=tmp_path, index_kind="bogus")
+    embedder = EmbeddingPipeline(model_name="offline-test", cfg=SMALL,
+                                 max_seq_length=64)
+    embedder.fit_tokenizer([d["content"] for d in DOCS], vocab_size=300)
+    cfg = Config(base_dir=tmp_path, vector_dimension=32, index_kind="pq")
+    m = RAGManager(config=cfg, embedder=embedder)
+    assert isinstance(m.vector_store.index, PQIndex)
+    m.initialize_database(DOCS)
+    hits = m.search_similar_documents(DOCS[0]["content"], k=2)
+    assert hits and hits[0]["id"] == 9  # self-retrieval survives PQ
