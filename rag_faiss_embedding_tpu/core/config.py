@@ -66,6 +66,7 @@ class Config:
     ivf_nlist: int = 1024
     ivf_nprobe: int = 8
     ivf_balance: str = "spill"  # "spill" (exact overflow tier) or "reassign"
+    ivf_pq_m: int = 0  # >0: IVF-PQ residual codes, M bytes/row (memory tier)
     #                             (capacity-capped lists, smaller windows)
 
     # Search (reference config.py:33-34)
@@ -146,6 +147,10 @@ class Config:
             raise ValueError("ivf_nlist and ivf_nprobe must be positive")
         if self.ivf_balance not in ("spill", "reassign"):
             raise ValueError("ivf_balance must be 'spill' or 'reassign'")
+        if self.ivf_pq_m < 0:
+            raise ValueError("ivf_pq_m must be >= 0 (0 = dense storage)")
+        if self.ivf_pq_m and self.vector_dimension % self.ivf_pq_m:
+            raise ValueError("vector_dimension must be divisible by ivf_pq_m")
         if self.batch_size <= 0:
             raise ValueError("batch_size must be positive")
         if self.top_k <= 0:

@@ -173,6 +173,9 @@ class IVFFlatIndex:
         union_mode: str = "auto",
         backend: str = "auto",
         pallas_cap: int = 2,
+        pq_m: Optional[int] = None,
+        pq_ksub: int = 256,
+        pq_compute: str = "bf16",
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -184,6 +187,27 @@ class IVFFlatIndex:
         self.nlist = int(nlist)
         self.metric = metric
         self.nprobe = int(nprobe)
+        # ---- IVF-PQ storage (FAISS IndexIVFPQ analog): lists hold M-byte
+        # RESIDUAL codes (x - centroid) instead of dense rows; the fused
+        # scan decodes against the coarse stage's q·centroid dots
+        # (ops/ivf_scan._chunk_body_pq). Residual codes are ~1 coarse-cell
+        # diameter tighter than raw-vector PQ at equal M. The pending/spill
+        # tier stays dense bf16 (exactly scanned, tiny).
+        self.pq_m = int(pq_m) if pq_m else None
+        self.pq_ksub = int(pq_ksub)
+        self.pq_compute = pq_compute
+        self.pq_codebooks: Optional[jax.Array] = None  # (M, ksub, dsub) f32
+        self._pq_cb_store: Optional[jax.Array] = None  # compute-dtype copy
+        if self.pq_m:
+            if jnp.dtype(dtype) == jnp.int8:
+                raise ValueError("pq_m and int8 storage are exclusive")
+            if self.dim % self.pq_m:
+                raise ValueError(
+                    f"dim {self.dim} not divisible by pq_m={self.pq_m}"
+                )
+            if pq_compute not in ("bf16", "f32"):
+                raise ValueError("pq_compute must be 'bf16' or 'f32'")
+            dtype = "uint8"  # list storage = codes; tiers stay bf16 below
         self.dtype = jnp.dtype(dtype)
         self.quantized = self.dtype == jnp.int8
         self.device = device if device is not None else jax.devices()[0]
@@ -215,9 +239,12 @@ class IVFFlatIndex:
         self._window = 0
         self._n_built = 0          # live rows in the block-padded tier
         self.ndeleted = 0          # remove_ids tombstones (both tiers)
-        # exact pending tier for streaming adds
-        self._pending = FlatIndex(dim, metric=metric, dtype=dtype,
-                                  device=self.device)
+        # exact pending tier for streaming adds (dense bf16 under PQ)
+        self._pending = FlatIndex(
+            dim, metric=metric,
+            dtype="bfloat16" if self.pq_m else dtype,
+            device=self.device,
+        )
         # pending tier holds BOTH overflow spill from capped lists and
         # streamed adds; _pending_rowids maps pending positions -> global ids
         # (kept on host for persistence, mirrored on device for the hot path)
@@ -253,6 +280,9 @@ class IVFFlatIndex:
         # recall@10 at ~0.980 at 1M x 384, below the 0.99 gate; the shadow
         # costs 2 bytes/dim extra HBM — disable for memory-tight corpora)
         self.rerank = self.quantized if rerank is None else bool(rerank)
+        if self.pq_m and self.rerank:
+            raise ValueError("rerank shadow is not supported with pq_m "
+                             "(PQ is the memory tier)")
         self.rerank_depth = int(rerank_depth)
         # "minrank": per-query probe sets compacted with per-query rank
         #   guarantees (the semantically-safe default for small indexes);
@@ -361,6 +391,48 @@ class IVFFlatIndex:
         kstats["relabel_s"] = time.perf_counter() - t0
         self.build_stats["train"] = kstats
         self.is_trained = True
+
+    def _pq_encode_rows(
+        self, rows_f32: jax.Array, lists: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Residual-encode rows against their assigned list centroids;
+        returns ((n, M) uint8 codes, (n,) f32 EXACT ||c + r̂||² norms) —
+        the ADC identity needs reconstruction norms, computed chunked so
+        the dense decode never materializes corpus-sized intermediates."""
+        from ..ops import pq as pq_ops
+
+        cl = jnp.minimum(lists, self.nlist - 1)  # sentinel rows spill anyway
+        cents = self.centroids[cl]
+        resid = rows_f32 - cents
+        if self.pq_codebooks is None:
+            self.pq_codebooks = jax.device_put(
+                pq_ops.train_pq(
+                    resid, self.pq_m, ksub=self.pq_ksub,
+                    n_iters=self.train_iters, seed=self.seed,
+                ),
+                self.device,
+            )
+            self._pq_cb_store = None
+        codes_parts, sq_parts = [], []
+        chunk = 131072
+        for start in range(0, int(rows_f32.shape[0]), chunk):
+            rc = resid[start : start + chunk]
+            cc, _ = pq_ops.pq_encode(self.pq_codebooks, rc)
+            rec = pq_ops.pq_decode(self.pq_codebooks, cc)
+            sq_parts.append(
+                dist_ops.sqnorms(rec + cents[start : start + chunk])
+            )
+            codes_parts.append(cc)
+        return jnp.concatenate(codes_parts), jnp.concatenate(sq_parts)
+
+    def _pq_cb_compute(self) -> jax.Array:
+        """Codebooks in the scan's compute dtype (cached device copy)."""
+        if self._pq_cb_store is None:
+            dt = jnp.bfloat16 if self.pq_compute == "bf16" else jnp.float32
+            self._pq_cb_store = jax.device_put(
+                self.pq_codebooks.astype(dt), self.device
+            )
+        return self._pq_cb_store
 
     def _reassign_cap(self, mean_len: float) -> int:
         """Capacity per list for balance='reassign': ``cap_factor`` x the
@@ -478,12 +550,17 @@ class IVFFlatIndex:
         src = src.at[nlist * window:].set(n)  # wipe the dump/sentinel block
 
         sorted_sq = dist_ops.sqnorms(sorted_f32)  # exact, pre-quantization
-        if self.quantized:
+        if self.pq_m:
+            sorted_codes, sorted_sq = self._pq_encode_rows(
+                sorted_f32, a_sorted
+            )
+            sorted_scales = None
+        elif self.quantized:
             sorted_codes, sorted_scales = quantize_rows(sorted_f32)
         else:
             sorted_codes = sorted_f32.astype(self.dtype)
             sorted_scales = None
-        zrow = jnp.zeros((1, self.dim), sorted_codes.dtype)
+        zrow = jnp.zeros((1, sorted_codes.shape[1]), sorted_codes.dtype)
         padded_codes = jnp.concatenate([sorted_codes, zrow])[src]
         padded_sq = jnp.concatenate([sorted_sq, jnp.zeros((1,))])[src]
         padded_ids = jnp.concatenate(
@@ -545,7 +622,10 @@ class IVFFlatIndex:
         self._lengths = jax.device_put(lengths, dev)
         # coarse-scan centroid copy: storage dtype (bf16 for int8 indexes —
         # the coarse ranking only picks lists, full precision is wasted BW)
-        cdtype = jnp.bfloat16 if self.quantized else self.dtype
+        if self.pq_m:
+            cdtype = jnp.bfloat16 if self.pq_compute == "bf16" else jnp.float32
+        else:
+            cdtype = jnp.bfloat16 if self.quantized else self.dtype
         self._cent_store = jax.device_put(
             self.centroids.astype(cdtype), dev
         )
@@ -679,14 +759,15 @@ class IVFFlatIndex:
         if self.use_fused:
             spill = self._pending_dev() if self._pending.ntotal else None
             backend = self.backend
-            if filt is not None and backend == "pallas":
-                logger.debug("filtered search: pallas backend -> xla")
+            if (filt is not None or self.pq_m) and backend == "pallas":
+                logger.debug("filtered/PQ search: pallas backend -> xla")
                 backend = "xla"
             return fused_ivf_search(
                 q, self._cent_store, self._cent_sq,
                 self._sorted_vecs, self._sorted_scales,
                 self._sorted_sq, self._sorted_ids, spill,
                 self._sorted_shadow, filt,
+                self._pq_cb_compute() if self.pq_m else None,
                 k=k, nprobe=nprobe, window=self._window, metric=self.metric,
                 recall_target=self.recall_target,
                 union_cap=self.union_cap, rerank_depth=self.rerank_depth,
@@ -704,7 +785,7 @@ class IVFFlatIndex:
     ) -> Tuple[jax.Array, jax.Array]:
         """Per-query windowed path (L2, full-precision storage only) — the
         fused kernel's semantics reference; kept for A/B and small batches."""
-        if self.quantized or self.metric != "L2":
+        if self.quantized or self.pq_m or self.metric != "L2":
             raise ValueError(
                 "windowed path supports metric='L2' float storage; "
                 "use the fused path (use_fused=True)"
@@ -797,11 +878,21 @@ class IVFFlatIndex:
         all_ids = []
         if self._n_built:
             live = self._live_mask()
-            built = self._sorted_vecs[jnp.asarray(np.nonzero(live)[0])]
-            if self.quantized:
+            pos = jnp.asarray(np.nonzero(live)[0])
+            built = self._sorted_vecs[pos]
+            if self.pq_m:
+                from ..ops import pq as pq_ops
+
+                # reconstruction: centroid of the slot's list + decoded
+                # residual (pos // window IS the list id — block layout)
+                built = np.asarray(
+                    pq_ops.pq_decode(self.pq_codebooks, built)
+                    + self.centroids[pos // self._window]
+                )
+            elif self.quantized:
                 from ..ops.quantize import dequantize
 
-                scales = self._sorted_scales[jnp.asarray(np.nonzero(live)[0])]
+                scales = self._sorted_scales[pos]
                 built = np.asarray(dequantize(built, scales))
             else:
                 built = np.asarray(built)
@@ -855,6 +946,17 @@ class IVFFlatIndex:
             if self._assign_bias is not None
             else np.zeros((0,), np.float32),
         }
+        if self.pq_m:
+            state.update({
+                "pq_m": self.pq_m,
+                "pq_ksub": self.pq_ksub,
+                "pq_compute": self.pq_compute,
+                "pq_codebooks": np.asarray(self.pq_codebooks)
+                if self.pq_codebooks is not None
+                else np.zeros(
+                    (self.pq_m, 0, self.dim // self.pq_m), np.float32
+                ),
+            })
         if self._n_built:
             live = self._live_mask()
             pos = jnp.asarray(np.nonzero(live)[0])  # block order
@@ -910,7 +1012,7 @@ class IVFFlatIndex:
             jnp.arange(n_live, dtype=jnp.int32)
         )
         dev = self.device
-        zrow = jnp.zeros((1, self.dim), codes.dtype)
+        zrow = jnp.zeros((1, codes.shape[1]), codes.dtype)  # M-wide for PQ
         self._sorted_vecs = jax.device_put(
             jnp.concatenate([codes, zrow])[src], dev
         )
@@ -939,7 +1041,12 @@ class IVFFlatIndex:
         self._lengths = jax.device_put(
             jnp.asarray(lengths_np, jnp.int32), dev
         )
-        cdtype = jnp.bfloat16 if self.quantized else self.dtype
+        if self.pq_m:
+            cdtype = (
+                jnp.bfloat16 if self.pq_compute == "bf16" else jnp.float32
+            )
+        else:
+            cdtype = jnp.bfloat16 if self.quantized else self.dtype
         self._cent_store = jax.device_put(
             self.centroids.astype(cdtype), dev
         )
@@ -954,14 +1061,29 @@ class IVFFlatIndex:
             v = np.asarray(v)
             return v.item() if v.ndim == 0 else v
 
+        pq_kwargs = {}
+        if "pq_m" in state:
+            pq_kwargs = {
+                "pq_m": int(item(state["pq_m"])),
+                "pq_ksub": int(item(state["pq_ksub"])),
+                "pq_compute": str(item(state["pq_compute"])),
+            }
         idx = cls(
             dim=int(item(state["dim"])),
             nlist=int(item(state["nlist"])),
             metric=str(item(state["metric"])),
             nprobe=int(item(state["nprobe"])),
-            dtype=str(item(state["dtype"])),
+            dtype=str(item(state["dtype"])) if "pq_m" not in state
+            else "bfloat16",  # __init__ re-derives uint8 from pq_m
+            **pq_kwargs,
             **kwargs,
         )
+        if "pq_codebooks" in state:
+            cb = np.asarray(state["pq_codebooks"])
+            if cb.size:
+                idx.pq_codebooks = jax.device_put(
+                    jnp.asarray(cb, jnp.float32), idx.device
+                )
         if "window_quantile" in state:
             idx.window_quantile = float(item(state["window_quantile"]))
         if "balance" in state:

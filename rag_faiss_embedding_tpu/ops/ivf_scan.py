@@ -234,6 +234,51 @@ def _chunk_body(
     return best_v, best_i
 
 
+def _chunk_body_pq(
+    q: jax.Array,              # (qc, D) f32
+    u: jax.Array,              # (U,) union list ids (sorted)
+    cdu: jax.Array,            # (qc, U) raw q·centroid dots of the union
+    codes: jax.Array,          # ((nlist+1)*window, M) uint8 PQ codes
+    sorted_sq: jax.Array,      # ((nlist+1)*window,) f32 ||c + r̂||²
+    sorted_ids: jax.Array,
+    pq_cb: jax.Array,          # (M, ksub, dsub) compute-dtype codebooks
+    *,
+    k: int,
+    window: int,
+    metric: str,
+    recall_target: float,
+    rerank_depth: int,
+    filt: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """PQ-storage chunk stage: the union block gather moves M BYTES per row
+    (the whole point of the tier), codes decode to dense rows against the
+    VMEM-sized codebook, one MXU matmul scores the residual part, and the
+    coarse stage's q·centroid dots supply the residual shift:
+    ``q·x̂ = q·c_list + q·r̂`` (residual encoding), so
+    L2 internal score = 2(q·c + q·r̂) - ||c + r̂||² with exact stored norms."""
+    from .pq import _decode_bf16
+
+    m = codes.shape[1]
+    rows = codes.reshape(-1, window, m)[u].reshape(-1, m)
+    rid = sorted_ids.reshape(-1, window)[u].reshape(-1)
+    rsq = sorted_sq.reshape(-1, window)[u].reshape(-1)
+    dec = _decode_bf16(pq_cb, rows)                    # (U*window, D)
+    qs = q.astype(pq_cb.dtype)
+    dots_r = jnp.dot(qs, dec.T, preferred_element_type=jnp.float32,
+                     precision=_matmul_precision(qs))
+    dots = jnp.repeat(cdu, window, axis=1) + dots_r    # (qc, U*window)
+    scores = 2.0 * dots - rsq[None, :] if metric == "L2" else dots
+    scores = jnp.where(_live_rows(rid, filt)[None, :], scores, NEG_INF)
+    k_cand = min(max(k, rerank_depth), scores.shape[1])
+    best_v, pos = lax.approx_max_k(scores, k_cand,
+                                   recall_target=recall_target)
+    best_i = rid[pos.astype(jnp.int32)]
+    if k_cand > k:
+        best_v, sel = lax.top_k(best_v, k)
+        best_i = jnp.take_along_axis(best_i, sel, axis=1)
+    return best_v, best_i
+
+
 def fused_ivf_search_math(
     q: jax.Array,              # (Nq, D) f32 queries
     centroids: jax.Array,      # (nlist, D) coarse-scan dtype
@@ -245,6 +290,8 @@ def fused_ivf_search_math(
     spill: Optional[Tuple[jax.Array, ...]],  # (codes, scales|None, sq, ids)
     shadow: Optional[jax.Array] = None,  # bf16 rerank rows (int8 storage)
     filt: Optional[jax.Array] = None,    # (next_id,) bool, True = searchable
+    pq: Optional[jax.Array] = None,      # (M, ksub, dsub) codebooks -> codes
+    #                                      are ((nlist+1)*window, M) uint8
     *,
     k: int,
     nprobe: int,
@@ -369,6 +416,11 @@ def fused_ivf_search_math(
                 "backend='pallas' has no filter operand; filtered "
                 "searches run the XLA backend"
             )
+        if pq is not None:
+            raise ValueError(
+                "backend='pallas' has no PQ decode stage; PQ storage "
+                "runs the XLA backend"
+            )
         bb = pick_bb(window, d, codes.dtype.itemsize, u_all.shape[1])
         u_pad = (-u_all.shape[1]) % bb
         if u_pad:
@@ -385,6 +437,69 @@ def fused_ivf_search_math(
         )
         vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
                                     window=window, k=k)
+        inv = jnp.argsort(perm)
+        best_v = vals_p[:nq][inv]
+        best_i = ids_p[:nq][inv]
+        return _spill_and_finalize(
+            best_v, best_i, qf, q_sq, spill, quantized, metric, k, nq,
+            filt=filt,
+        )
+
+    if pq is not None:
+        # residual shift: raw q·centroid dots gathered for each chunk's
+        # union lists (already computed by the coarse stage); the sentinel
+        # list id (== nlist) is clamped — its blocks carry rid -1 and are
+        # masked regardless of the gathered value
+        cd_p = cdots[perm]
+        padq = steps * qc - nq
+        if padq:
+            cd_p = jnp.concatenate(
+                [cd_p, jnp.broadcast_to(cd_p[-1:], (padq, nlist))]
+            )
+        cd_u = jnp.take_along_axis(
+            cd_p.reshape(steps, qc, nlist),
+            jnp.minimum(u_all, nlist - 1)[:, None, :],
+            axis=2,
+        )                                              # (steps, qc, U)
+        body_pq = functools.partial(
+            _chunk_body_pq,
+            codes=codes, sorted_sq=sorted_sq, sorted_ids=sorted_ids,
+            pq_cb=pq, k=k, window=window, metric=metric,
+            recall_target=recall_target, rerank_depth=rerank_depth,
+            filt=filt,
+        )
+        rows_per_chunk = u_all.shape[1] * window
+        # live bytes per chunk: gathered codes + DECODED dense rows (bf16)
+        # + the score matrix
+        chunk_bytes = (rows_per_chunk * (codes.shape[1] + 2 * d)
+                       + qc * rows_per_chunk * 4)
+        sb_max = int(max(1, min(steps,
+                                _VMAP_BYTES_BUDGET // max(chunk_bytes, 1))))
+        outer = -(-steps // sb_max)
+        sb = -(-steps // outer)
+        pad_c = outer * sb - steps
+        qs = qp.reshape(steps, qc, d)
+        if pad_c:
+            def padc(a):
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1:], (pad_c,) + a.shape[1:])]
+                )
+            qs, u_all, cd_u = padc(qs), padc(u_all), padc(cd_u)
+        qs = qs.reshape(outer, sb, qc, d)
+        us = u_all.reshape(outer, sb, -1)
+        cds = cd_u.reshape(outer, sb, qc, -1)
+
+        def step_pq(_, xs):
+            return None, jax.vmap(body_pq)(xs[0], xs[1], xs[2])
+
+        xs = (qs, us, cds)
+        if outer == 1:
+            _, (v, i) = step_pq(None, jax.tree.map(lambda a: a[0], xs))
+            v, i = v[None], i[None]
+        else:
+            _, (v, i) = lax.scan(step_pq, None, xs)
+        vals_p = v.reshape(outer * sb * qc, -1)
+        ids_p = i.reshape(outer * sb * qc, -1)
         inv = jnp.argsort(perm)
         best_v = vals_p[:nq][inv]
         best_i = ids_p[:nq][inv]
@@ -537,6 +652,7 @@ def fused_ivf_search(
     spill: Optional[Tuple[jax.Array, ...]] = None,
     shadow: Optional[jax.Array] = None,
     filt: Optional[jax.Array] = None,
+    pq: Optional[jax.Array] = None,
     *,
     k: int,
     nprobe: int,
@@ -573,7 +689,7 @@ def fused_ivf_search(
         )
     qc = min(qc, max(8, nq))
     interpret = False
-    if filt is not None and backend == "auto":
+    if (filt is not None or pq is not None) and backend == "auto":
         backend = "xla"
     if backend != "xla":
         from .pallas_ivf import pallas_eligible
@@ -604,7 +720,7 @@ def fused_ivf_search(
         interpret = backend == "pallas" and platform != "tpu"
     return _fused_jit(
         jnp.asarray(q, jnp.float32), centroids, cent_sq, codes, scales,
-        sorted_sq, sorted_ids, spill, shadow, filt,
+        sorted_sq, sorted_ids, spill, shadow, filt, pq,
         k=k, nprobe=nprobe, window=window, metric=metric,
         recall_target=recall_target, union_cap=union_cap, qc=qc,
         rerank_depth=rerank_depth, union_mode=union_mode,

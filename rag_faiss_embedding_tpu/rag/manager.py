@@ -65,6 +65,7 @@ class RAGManager:
                 metric=self.config.index_metric,
                 dtype=self.config.index_dtype,
                 balance=self.config.ivf_balance,
+                pq_m=self.config.ivf_pq_m or None,
             )
         elif self.index_kind == "pq":
             from ..index.pq import PQIndex

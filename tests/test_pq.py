@@ -196,3 +196,111 @@ def test_pq_through_config_and_manager(tmp_path):
     m.initialize_database(DOCS)
     hits = m.search_similar_documents(DOCS[0]["content"], k=2)
     assert hits and hits[0]["id"] == 9  # self-retrieval survives PQ
+
+
+# ------------------------------------------------------------------ IVF-PQ
+def test_ivfpq_full_probe_oracle_and_residual_gain(rng):
+    """IVF-PQ at full probe: recall bounded by the codec, residual codes
+    beat raw-vector PQ at equal M; the scan never returns wrong tiers."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=32, per=128, spread=0.3)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    d = ((q[:, None] - pts[None]) ** 2).sum(-1)
+    truth = np.argsort(d, 1)[:, :10]
+
+    ivfpq = IVFFlatIndex(64, nlist=16, nprobe=16, pq_m=16, pq_compute="f32")
+    ivfpq.build(pts)
+    assert ivfpq._sorted_vecs.dtype == np.uint8
+    assert ivfpq._sorted_vecs.shape[1] == 16  # M bytes/slot
+    _, ids = ivfpq.search(q, 10, nprobe=16)
+    ids = np.asarray(ids)
+    r_ivfpq = np.mean([len(set(a) & set(b)) / 10
+                       for a, b in zip(ids.tolist(), truth.tolist())])
+
+    flat = PQIndex(64, m=16, compute_dtype="f32")
+    flat.build(pts)
+    _, fids = flat.search(q, 10)
+    r_flat = np.mean([len(set(a) & set(b)) / 10
+                      for a, b in zip(np.asarray(fids).tolist(),
+                                      truth.tolist())])
+    # residual codes quantize a ~cell-diameter range instead of the full
+    # data range -> strictly tighter at equal M
+    assert r_ivfpq > r_flat, (r_ivfpq, r_flat)
+    assert r_ivfpq > 0.5, r_ivfpq
+
+
+def test_ivfpq_streaming_remove_filter(rng):
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=64, spread=0.3)
+    idx = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32")
+    idx.build(pts)
+    # streaming adds land in the DENSE pending tier (exact within tier)
+    extra = pts[:8] + 0.001
+    idx.add(extra)
+    _, ids = idx.search(extra, 1, nprobe=8)
+    got = np.asarray(ids)[:, 0]
+    assert ((got == np.arange(len(pts), len(pts) + 8)) | (got == np.arange(8))).all()
+    # remove + filter compose through PQ storage
+    idx.remove_ids(np.arange(4))
+    _, ids = idx.search(pts[:4], 3, nprobe=8)
+    assert not np.isin(np.asarray(ids), np.arange(4)).any()
+    mask = np.zeros(idx.ntotal, bool)
+    mask[512:] = True
+    _, ids = idx.search(pts[600:604], 5, nprobe=8, filter_mask=mask)
+    ids = np.asarray(ids)
+    assert ((ids >= 512) | (ids == -1)).all()
+
+
+def test_ivfpq_ip_metric(rng):
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=64, spread=0.3)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    idx = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                       metric="IP")
+    idx.build(pts)
+    _, ids = idx.search(q, 10, nprobe=8)
+    truth = np.argsort(-(q @ pts.T), 1)[:, :10]
+    r = np.mean([len(set(a) & set(b)) / 10
+                 for a, b in zip(np.asarray(ids).tolist(), truth.tolist())])
+    assert r > 0.35, r  # codec-bound; the scan itself is tier-exact
+
+
+def test_ivfpq_persistence_round_trip(rng, tmp_path):
+    from rag_faiss_embedding_tpu.index import VectorStore
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=64, spread=0.3)
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    idx = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32")
+    idx.build(pts)
+    idx.add(pts[:8] + 0.001)
+    idx.remove_ids(np.array([100]))
+    store = VectorStore(dimension=64, index_path=tmp_path / "ivfpq.idx",
+                        index=idx)
+    store.doc_ids = list(range(idx.ntotal))
+    d1, i1 = store.search(q, k=5)
+    store.save_index()
+    loaded = VectorStore(dimension=64, index_path=tmp_path / "ivfpq.idx")
+    assert loaded.index.pq_m == 16
+    assert loaded.index.dtype == np.uint8
+    d2, i2 = loaded.search(q, k=5)
+    assert i1 == i2  # codes + codebooks reload bit-exact
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_ivfpq_validations():
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.core import Config
+
+    with pytest.raises(ValueError):
+        IVFFlatIndex(64, pq_m=16, dtype="int8")
+    with pytest.raises(ValueError):
+        IVFFlatIndex(65, pq_m=16)
+    with pytest.raises(ValueError):
+        IVFFlatIndex(64, pq_m=16, rerank=True)
+    with pytest.raises(ValueError):
+        Config(base_dir="/tmp", vector_dimension=30, ivf_pq_m=16)
