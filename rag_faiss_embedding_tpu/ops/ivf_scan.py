@@ -469,9 +469,10 @@ def fused_ivf_search_math(
             filt=filt,
         )
         rows_per_chunk = u_all.shape[1] * window
-        # live bytes per chunk: gathered codes + DECODED dense rows (bf16)
+        # live bytes per chunk: gathered codes + gather indices + DECODED
+        # dense rows (with headroom for XLA's fusion copies of the decode)
         # + the score matrix
-        chunk_bytes = (rows_per_chunk * (codes.shape[1] + 2 * d)
+        chunk_bytes = (rows_per_chunk * (codes.shape[1] + 4 + 4 * d)
                        + qc * rows_per_chunk * 4)
         sb_max = int(max(1, min(steps,
                                 _VMAP_BYTES_BUDGET // max(chunk_bytes, 1))))
@@ -683,8 +684,11 @@ def fused_ivf_search(
     if union_cap is None:
         union_cap = default_union_cap(nlist, nprobe)
     if qc is None:
+        # PQ rows decode to dense inside the chunk stage: budget them as
+        # f32-equivalent rows, not 1-byte codes
+        code_bytes = 4 if pq is not None else jnp.dtype(codes.dtype).itemsize
         qc = pick_query_chunk(
-            nprobe, window, dim, jnp.dtype(codes.dtype).itemsize, nq,
+            nprobe, window, dim, code_bytes, nq,
             union_cap=union_cap,
         )
     qc = min(qc, max(8, nq))

@@ -165,13 +165,17 @@ def pq_decode(codebooks: jax.Array, codes: jax.Array) -> jax.Array:
 
 # ------------------------------------------------------------------ search
 def _decode_bf16(codebooks_bf16, codes):
-    """(chunk, M) codes -> (chunk, D) bf16 reconstruction (the scan-side
-    decode; the codebook gather's working set is M*ksub*dsub*2 bytes —
-    ~200 KB at D=384/M=48 — VMEM-resident in the Pallas path)."""
-    dec = jnp.take_along_axis(
-        codebooks_bf16, codes.astype(jnp.int32).T[:, :, None], axis=1
-    )                                                     # (M, c, dsub)
-    return dec.transpose(1, 0, 2).reshape(codes.shape[0], -1)
+    """(chunk, M) codes -> (chunk, D) reconstruction in the codebook's
+    dtype. ROW-MAJOR formulation: one flat gather of (chunk, M) rows from
+    the (M*ksub, dsub) codebook table — no (M, chunk, dsub) transposed
+    intermediate (the subspace-major layout cost XLA two chunk-sized
+    layout copies per step, OOMing the fused IVF-PQ scan)."""
+    m, ksub, dsub = codebooks_bf16.shape
+    flat_cb = codebooks_bf16.reshape(m * ksub, dsub)
+    idx = codes.astype(jnp.int32) + (
+        jnp.arange(m, dtype=jnp.int32) * ksub
+    )[None, :]                                            # (chunk, M)
+    return flat_cb[idx].reshape(codes.shape[0], m * dsub)
 
 
 @functools.partial(

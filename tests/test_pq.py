@@ -304,3 +304,78 @@ def test_ivfpq_validations():
         IVFFlatIndex(64, pq_m=16, rerank=True)
     with pytest.raises(ValueError):
         Config(base_dir="/tmp", vector_dimension=30, ivf_pq_m=16)
+
+
+def test_ivfpq_build_chunked_matches_dense_build(rng):
+    """With training pinned (centroids + codebooks from a dense build), the
+    out-of-HBM chunked build must produce the IDENTICAL index: same window,
+    same codes, same search results."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=64, spread=0.3)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    dense = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32")
+    dense.build(pts)
+    v1, i1 = dense.search(q, 10, nprobe=8)
+
+    chunked = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32")
+    chunked.centroids = dense.centroids          # pin training
+    chunked.is_trained = True
+    chunked.pq_codebooks = dense.pq_codebooks
+    chunked.build_chunked(
+        lambda start, size: pts[start : start + size],
+        n=len(pts), chunk_size=300,              # uneven chunking on purpose
+    )
+    assert chunked._window == dense._window
+    assert chunked._n_spill == dense._n_spill
+    np.testing.assert_array_equal(
+        np.asarray(chunked._sorted_ids), np.asarray(dense._sorted_ids)
+    )
+    v2, i2 = chunked.search(q, 10, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    # self-training path also works end to end
+    auto = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32")
+    auto.build_chunked(lambda s, z: pts[s : s + z], n=len(pts),
+                       chunk_size=512)
+    _, ids = auto.search(pts[:8], 1, nprobe=8)
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).mean() >= 0.75
+
+
+def test_int8_build_chunked_matches_dense_build(rng):
+    """Chunked build with SQ8 storage (the 10M-scale int8 config): pinned
+    training -> identical index to the dense build."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=64, spread=0.3)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    dense = IVFFlatIndex(64, nlist=8, nprobe=8, dtype="int8", rerank=False)
+    dense.build(pts)
+    v1, i1 = dense.search(q, 10, nprobe=8)
+    chunked = IVFFlatIndex(64, nlist=8, nprobe=8, dtype="int8", rerank=False)
+    chunked.centroids = dense.centroids
+    chunked.is_trained = True
+    chunked.build_chunked(lambda s, z: pts[s : s + z], n=len(pts),
+                          chunk_size=300)
+    assert chunked._window == dense._window
+    np.testing.assert_array_equal(
+        np.asarray(chunked._sorted_ids), np.asarray(dense._sorted_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(chunked._sorted_scales), np.asarray(dense._sorted_scales)
+    )
+    v2, i2 = chunked.search(q, 10, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    # int8 + rerank shadow is refused (footprint) — dense bf16 is allowed
+    with pytest.raises(ValueError):
+        IVFFlatIndex(64, nlist=8, dtype="int8").build_chunked(
+            lambda s, z: pts[s : s + z], n=len(pts))
+    bf = IVFFlatIndex(64, nlist=8, nprobe=8, dtype="bfloat16")
+    bf.centroids = dense.centroids
+    bf.is_trained = True
+    bf.build_chunked(lambda s, z: pts[s : s + z], n=len(pts), chunk_size=300)
+    _, ids = bf.search(pts[:4], 1, nprobe=8)
+    assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
