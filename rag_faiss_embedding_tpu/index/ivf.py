@@ -413,6 +413,7 @@ class IVFFlatIndex:
                 self.device,
             )
             self._pq_cb_store = None
+            self._pq_w_cache = None
         codes_parts, sq_parts = [], []
         chunk = 131072
         for start in range(0, int(rows_f32.shape[0]), chunk):
@@ -424,6 +425,29 @@ class IVFFlatIndex:
             )
             codes_parts.append(cc)
         return jnp.concatenate(codes_parts), jnp.concatenate(sq_parts)
+
+    def _pq_w(self) -> Optional[jax.Array]:
+        """Grouped block-diagonal codebook for the Pallas decode kernel
+        (ops/pallas_pq.py), cached on device; None when the kernel is
+        ineligible (then the XLA gather decode runs)."""
+        if self.backend == "xla":
+            return None
+        from ..ops.pallas_pq import decode_eligible, grouped_codebook, \
+            pick_group
+
+        dsub = self.dim // self.pq_m
+        if not decode_eligible(
+            self.device.platform, self.pq_m, self.pq_ksub, dsub,
+            self._window or 128, interpret=self.backend == "pallas",
+        ):
+            return None
+        if getattr(self, "_pq_w_cache", None) is None:
+            self._pq_w_cache = jax.device_put(
+                grouped_codebook(self.pq_codebooks,
+                                 pick_group(self.pq_m, dsub)),
+                self.device,
+            )
+        return self._pq_w_cache
 
     def _pq_cb_compute(self) -> jax.Array:
         """Codebooks in the scan's compute dtype (cached device copy)."""
@@ -965,14 +989,16 @@ class IVFFlatIndex:
             spill = self._pending_dev() if self._pending.ntotal else None
             backend = self.backend
             if (filt is not None or self.pq_m) and backend == "pallas":
-                logger.debug("filtered/PQ search: pallas backend -> xla")
+                # the union-scan kernel has no filter/PQ stage; PQ instead
+                # uses the Pallas DECODE kernel inside the XLA chunk path
                 backend = "xla"
+            pq_w = self._pq_w() if self.pq_m else None
             return fused_ivf_search(
                 q, self._cent_store, self._cent_sq,
                 self._sorted_vecs, self._sorted_scales,
                 self._sorted_sq, self._sorted_ids, spill,
                 self._sorted_shadow, filt,
-                self._pq_cb_compute() if self.pq_m else None,
+                self._pq_cb_compute() if self.pq_m else None, pq_w,
                 k=k, nprobe=nprobe, window=self._window, metric=self.metric,
                 recall_target=self.recall_target,
                 union_cap=self.union_cap, rerank_depth=self.rerank_depth,

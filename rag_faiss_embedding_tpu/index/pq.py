@@ -45,6 +45,7 @@ class PQIndex:
         train_iters: int = 25,
         seed: int = 0,
         compute_dtype: str = "bf16",
+        backend: str = "auto",
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -56,6 +57,12 @@ class PQIndex:
             raise ValueError("ksub must be in [2, 256] (uint8 codes)")
         if compute_dtype not in ("bf16", "f32"):
             raise ValueError("compute_dtype must be 'bf16' or 'f32'")
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"bad backend {backend!r}")
+        # "auto": Pallas one-hot MXU decode when eligible (TPU; XLA's gather
+        # decode measured ~60x slower); "pallas" forces it (interpret mode
+        # off-TPU, tests); "xla" keeps the gather decode
+        self.backend = backend
         self.dim = int(dim)
         self.m = int(m)
         self.ksub = int(ksub)
@@ -65,6 +72,7 @@ class PQIndex:
         self.seed = int(seed)
         self.device = device if device is not None else jax.devices()[0]
         self.codebooks: Optional[jax.Array] = None  # (M, ksub, dsub) f32
+        self._pq_w_cache: Optional[jax.Array] = None  # Pallas grouped copy
         self.is_trained = False
         self.ntotal = 0
         self.ndeleted = 0
@@ -92,6 +100,7 @@ class PQIndex:
             seed=self.seed,
         )
         self.codebooks = jax.device_put(cb, self.device)
+        self._pq_w_cache = None
         self.is_trained = True
 
     # ---------------------------------------------------------------- add
@@ -187,11 +196,34 @@ class PQIndex:
             dead = block if dead is None else (dead | block)
             dead = jax.device_put(dead, self.device)
         q = jax.device_put(q, self.device)
+        chunk = min(chunk_size, self._capacity)
+        pq_w = interpret = None
+        if self.backend != "xla":
+            from ..ops.pallas_pq import (
+                decode_eligible,
+                grouped_codebook,
+                pick_group,
+            )
+
+            dsub = self.dim // self.m
+            interpret = self.backend == "pallas" and \
+                self.device.platform != "tpu"
+            if decode_eligible(self.device.platform, self.m, self.ksub,
+                               dsub, chunk,
+                               interpret=self.backend == "pallas"):
+                if self._pq_w_cache is None:
+                    self._pq_w_cache = jax.device_put(
+                        grouped_codebook(self.codebooks,
+                                         pick_group(self.m, dsub)),
+                        self.device,
+                    )
+                pq_w = self._pq_w_cache
         return pq_ops.pq_search(
             q, self._codes, self.codebooks, self._sq, k,
             metric=self.metric, n_valid=jnp.int32(self.ntotal),
-            chunk_size=min(chunk_size, self._capacity),
+            chunk_size=chunk,
             dead=dead, compute_dtype=self.compute_dtype,
+            pq_w=pq_w, interpret=bool(interpret),
         )
 
     # ------------------------------------------------------------- manage

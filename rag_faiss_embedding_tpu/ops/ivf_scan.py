@@ -249,21 +249,34 @@ def _chunk_body_pq(
     recall_target: float,
     rerank_depth: int,
     filt: Optional[jax.Array] = None,
+    pq_w: Optional[jax.Array] = None,   # grouped codebook -> Pallas decode
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """PQ-storage chunk stage: the union block gather moves M BYTES per row
     (the whole point of the tier), codes decode to dense rows against the
-    VMEM-sized codebook, one MXU matmul scores the residual part, and the
-    coarse stage's q·centroid dots supply the residual shift:
+    VMEM-resident codebook, one MXU matmul scores the residual part, and
+    the coarse stage's q·centroid dots supply the residual shift:
     ``q·x̂ = q·c_list + q·r̂`` (residual encoding), so
-    L2 internal score = 2(q·c + q·r̂) - ||c + r̂||² with exact stored norms."""
+    L2 internal score = 2(q·c + q·r̂) - ||c + r̂||² with exact stored norms.
+
+    ``pq_w`` present -> the decode runs the Pallas one-hot MXU kernel
+    (ops/pallas_pq.py; XLA's gather decode measured 121 ms vs ~2 ms for
+    the matmul it feeds)."""
     from .pq import _decode_bf16
 
     m = codes.shape[1]
     rows = codes.reshape(-1, window, m)[u].reshape(-1, m)
     rid = sorted_ids.reshape(-1, window)[u].reshape(-1)
     rsq = sorted_sq.reshape(-1, window)[u].reshape(-1)
-    dec = _decode_bf16(pq_cb, rows)                    # (U*window, D)
-    qs = q.astype(pq_cb.dtype)
+    if pq_w is not None:
+        from .pallas_pq import decode as pq_decode_pallas
+
+        dec = pq_decode_pallas(
+            tuple(pq_cb.shape), rows, w=pq_w, interpret=interpret
+        )                                              # (U*window, D) bf16
+    else:
+        dec = _decode_bf16(pq_cb, rows)                # (U*window, D)
+    qs = q.astype(dec.dtype)
     dots_r = jnp.dot(qs, dec.T, preferred_element_type=jnp.float32,
                      precision=_matmul_precision(qs))
     dots = jnp.repeat(cdu, window, axis=1) + dots_r    # (qc, U*window)
@@ -292,6 +305,7 @@ def fused_ivf_search_math(
     filt: Optional[jax.Array] = None,    # (next_id,) bool, True = searchable
     pq: Optional[jax.Array] = None,      # (M, ksub, dsub) codebooks -> codes
     #                                      are ((nlist+1)*window, M) uint8
+    pq_w: Optional[jax.Array] = None,    # grouped codebook: Pallas decode
     *,
     k: int,
     nprobe: int,
@@ -466,7 +480,7 @@ def fused_ivf_search_math(
             codes=codes, sorted_sq=sorted_sq, sorted_ids=sorted_ids,
             pq_cb=pq, k=k, window=window, metric=metric,
             recall_target=recall_target, rerank_depth=rerank_depth,
-            filt=filt,
+            filt=filt, pq_w=pq_w, interpret=interpret,
         )
         rows_per_chunk = u_all.shape[1] * window
         # live bytes per chunk: gathered codes + gather indices + DECODED
@@ -654,6 +668,7 @@ def fused_ivf_search(
     shadow: Optional[jax.Array] = None,
     filt: Optional[jax.Array] = None,
     pq: Optional[jax.Array] = None,
+    pq_w: Optional[jax.Array] = None,
     *,
     k: int,
     nprobe: int,
@@ -693,6 +708,13 @@ def fused_ivf_search(
         )
     qc = min(qc, max(8, nq))
     interpret = False
+    if pq_w is not None:
+        # Pallas PQ decode: interpret mode off-TPU (tests)
+        try:
+            platform = next(iter(codes.devices())).platform
+        except Exception:
+            platform = jax.devices()[0].platform
+        interpret = platform != "tpu"
     if (filt is not None or pq is not None) and backend == "auto":
         backend = "xla"
     if backend != "xla":
@@ -724,7 +746,7 @@ def fused_ivf_search(
         interpret = backend == "pallas" and platform != "tpu"
     return _fused_jit(
         jnp.asarray(q, jnp.float32), centroids, cent_sq, codes, scales,
-        sorted_sq, sorted_ids, spill, shadow, filt, pq,
+        sorted_sq, sorted_ids, spill, shadow, filt, pq, pq_w,
         k=k, nprobe=nprobe, window=window, metric=metric,
         recall_target=recall_target, union_cap=union_cap, qc=qc,
         rerank_depth=rerank_depth, union_mode=union_mode,

@@ -181,7 +181,7 @@ def _decode_bf16(codebooks_bf16, codes):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "chunk_size", "selector", "recall_target",
-                     "compute_dtype"),
+                     "compute_dtype", "interpret"),
 )
 def pq_search(
     q: jax.Array,            # (Q, D) f32
@@ -197,6 +197,8 @@ def pq_search(
     recall_target: float = 0.99,
     dead: Optional[jax.Array] = None,
     compute_dtype: str = "bf16",
+    pq_w: Optional[jax.Array] = None,  # grouped codebook -> Pallas decode
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Chunked ADC scan: decode -> one MXU matmul -> running top-k.
 
@@ -241,7 +243,13 @@ def pq_search(
     def step(carry, inp):
         best_v, best_i = carry
         chunk, sqs, start, chunk_dead = inp
-        dec = _decode_bf16(cb_s, chunk)                  # (c, D) storage dtype
+        if pq_w is not None:
+            from .pallas_pq import decode as decode_pallas
+
+            dec = decode_pallas(tuple(codebooks.shape), chunk, w=pq_w,
+                                interpret=interpret)     # (c, D) bf16
+        else:
+            dec = _decode_bf16(cb_s, chunk)              # (c, D)
         dots = jnp.dot(qs, dec.T, preferred_element_type=jnp.float32,
                        precision=prec)
         scores = 2.0 * dots - sqs[None, :] if metric == "L2" else dots

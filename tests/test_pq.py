@@ -379,3 +379,49 @@ def test_int8_build_chunked_matches_dense_build(rng):
     bf.build_chunked(lambda s, z: pts[s : s + z], n=len(pts), chunk_size=300)
     _, ids = bf.search(pts[:4], 1, nprobe=8)
     assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
+
+
+def test_pallas_decode_matches_xla(rng):
+    """The one-hot MXU decode kernel (interpret mode off-TPU) is bit-exact
+    with the XLA gather decode, standalone and through both index kinds."""
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.ops import pallas_pq
+
+    pts = clustered(rng, n_clusters=16, per=64, d=128, spread=0.3)
+    cb = train_pq(pts, m=16, n_iters=10, seed=0)   # dsub=8 -> g=16 eligible
+    codes, _ = pq_encode(cb, pts)
+    assert pallas_pq.decode_eligible("cpu", 16, 256, 8, len(pts),
+                                     interpret=True)
+    dec_p = pallas_pq.decode(cb, codes, interpret=True)
+    dec_x = np.asarray(pq_decode(cb, codes)).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(dec_p.view(jnp.uint16)), np.asarray(dec_x.view(jnp.uint16))
+    )
+
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    # flat PQ: backend="pallas" (interpret) == backend="xla"
+    a = PQIndex(128, m=16, backend="pallas")
+    a.build(pts)
+    b = PQIndex(128, m=16, backend="xla")
+    b.codebooks, b.is_trained = a.codebooks, True
+    b.add(pts)
+    va, ia = a.search(q, 10, chunk_size=512)
+    vb, ib = b.search(q, 10, chunk_size=512)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-6)
+
+    # IVF-PQ: backend="pallas" routes the chunk stage to XLA but keeps the
+    # Pallas decode; results match the pure-XLA path
+    ivf_a = IVFFlatIndex(128, nlist=8, nprobe=8, pq_m=16, backend="pallas")
+    ivf_a.build(pts)
+    ivf_b = IVFFlatIndex(128, nlist=8, nprobe=8, pq_m=16, backend="xla")
+    ivf_b.centroids, ivf_b.is_trained = ivf_a.centroids, True
+    ivf_b.pq_codebooks = ivf_a.pq_codebooks
+    ivf_b.build(pts)
+    va, ia = ivf_a.search(q, 10, nprobe=8)
+    vb, ib = ivf_b.search(q, 10, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                               rtol=1e-5, atol=1e-5)
