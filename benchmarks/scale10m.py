@@ -142,15 +142,21 @@ def main() -> None:
         hits = sum(len(set(p.tolist()) & set(t.tolist()))
                    for p, t in zip(pred, truth))
         recall = hits / truth.size
+        # recall@1: the true NN is well separated on mixture data; @10 is
+        # codec-bound (ranks 2..10 are near-equidistant mode-mates — the
+        # hardest case for any lossy code, FAISS IVFPQ behaves the same)
+        r1 = float((pred[:, 0] == truth[:, 0]).mean())
         results[f"nprobe{nprobe}"] = {
             "qps": q_batch / per_batch,
             "batch_ms": per_batch * 1e3,
             "recall_at_10": recall,
+            "recall_at_1": r1,
         }
         print(json.dumps({
             "metric": "ivfpq_scale_qps", "nprobe": nprobe,
             "value": round(q_batch / per_batch, 1), "unit": "qps",
-            "recall_at_10": round(recall, 4), "n": n,
+            "recall_at_10": round(recall, 4), "recall_at_1": round(r1, 4),
+            "n": n,
         }))
 
     out = {
