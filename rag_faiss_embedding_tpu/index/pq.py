@@ -46,6 +46,7 @@ class PQIndex:
         seed: int = 0,
         compute_dtype: str = "bf16",
         backend: str = "auto",
+        opq: bool = False,
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -73,6 +74,10 @@ class PQIndex:
         self.device = device if device is not None else jax.devices()[0]
         self.codebooks: Optional[jax.Array] = None  # (M, ksub, dsub) f32
         self._pq_w_cache: Optional[jax.Array] = None  # Pallas grouped copy
+        # OPQ: learned orthogonal rotation applied before encoding (FAISS
+        # OPQMatrix analog); None = plain PQ
+        self.opq = bool(opq)
+        self.rotation: Optional[jax.Array] = None   # (D, D) f32
         self.is_trained = False
         self.ntotal = 0
         self.ndeleted = 0
@@ -94,14 +99,25 @@ class PQIndex:
 
     # ------------------------------------------------------------ training
     def train(self, vectors: np.ndarray | jax.Array) -> None:
-        """Train the subspace codebooks (``faiss.IndexPQ.train`` analog)."""
-        cb = pq_ops.train_pq(
-            vectors, self.m, ksub=self.ksub, n_iters=self.train_iters,
-            seed=self.seed,
-        )
+        """Train the subspace codebooks (``faiss.IndexPQ.train`` analog);
+        with ``opq=True`` also learns the rotation (OPQMatrix analog)."""
+        if self.opq:
+            r, cb = pq_ops.train_opq(
+                vectors, self.m, ksub=self.ksub, n_iters=self.train_iters,
+                seed=self.seed,
+            )
+            self.rotation = jax.device_put(r, self.device)
+        else:
+            cb = pq_ops.train_pq(
+                vectors, self.m, ksub=self.ksub, n_iters=self.train_iters,
+                seed=self.seed,
+            )
         self.codebooks = jax.device_put(cb, self.device)
         self._pq_w_cache = None
         self.is_trained = True
+
+    def _rotate(self, rows: jax.Array) -> jax.Array:
+        return rows @ self.rotation if self.rotation is not None else rows
 
     # ---------------------------------------------------------------- add
     def _grow(self, needed: int) -> None:
@@ -133,7 +149,7 @@ class PQIndex:
             self.train(vecs)
         n_new = vecs.shape[0]
         self._grow(self.ntotal + n_new)
-        codes, sq = pq_ops.pq_encode(self.codebooks, vecs)
+        codes, sq = pq_ops.pq_encode(self.codebooks, self._rotate(vecs))
         self._codes = jax.lax.dynamic_update_slice(
             self._codes, codes, (self.ntotal, 0)
         )
@@ -195,7 +211,7 @@ class PQIndex:
             block = jnp.pad(block, (0, self._capacity - self.ntotal))
             dead = block if dead is None else (dead | block)
             dead = jax.device_put(dead, self.device)
-        q = jax.device_put(q, self.device)
+        q = jax.device_put(self._rotate(q), self.device)
         chunk = min(chunk_size, self._capacity)
         pq_w = interpret = None
         if self.backend != "xla":
@@ -241,9 +257,10 @@ class PQIndex:
         excluded), for rebuild paths."""
         if self.ntotal == 0:
             return np.zeros((0, self.dim), np.float32)
-        rec = np.asarray(
-            pq_ops.pq_decode(self.codebooks, self._codes[: self.ntotal])
-        )
+        rec = pq_ops.pq_decode(self.codebooks, self._codes[: self.ntotal])
+        if self.rotation is not None:
+            rec = rec @ self.rotation.T   # back to the original basis
+        rec = np.asarray(rec)
         if self._dead is not None:
             rec = rec[~np.asarray(self._dead[: self.ntotal])]
         return rec
@@ -263,6 +280,8 @@ class PQIndex:
             "codes": np.asarray(self._codes[: self.ntotal]),
             "sqnorms": np.asarray(self._sq[: self.ntotal]),
         }
+        if self.rotation is not None:
+            state["rotation"] = np.asarray(self.rotation)
         if self.ndeleted:
             state["dead"] = np.asarray(self._dead[: self.ntotal])
         return state
@@ -279,8 +298,13 @@ class PQIndex:
             ksub=int(item(state["ksub"])),
             metric=str(item(state["metric"])),
             compute_dtype=str(item(state.get("compute_dtype", "bf16"))),
+            opq="rotation" in state,
             **kwargs,
         )
+        if "rotation" in state:
+            idx.rotation = jax.device_put(
+                jnp.asarray(state["rotation"], jnp.float32), idx.device
+            )
         codebooks = np.asarray(state["codebooks"])
         if codebooks.size:
             idx.codebooks = jax.device_put(

@@ -118,6 +118,50 @@ def train_pq(
     return cents
 
 
+def train_opq(
+    x: np.ndarray | jax.Array,
+    m: int,
+    ksub: int = 256,
+    n_iters: int = 25,
+    outer_iters: int = 10,
+    seed: int = 0,
+    train_sample: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """OPQ (Ge et al.): learn an orthogonal rotation R that minimizes PQ
+    reconstruction error, alternating Procrustes and Lloyd:
+
+      repeat: train codebooks on X@R -> reconstruct X̂ ->
+              R = UVᵀ of SVD(XᵀX̂)  (the rotation-side optimum)
+
+    Returns (R (D, D) f32, codebooks trained on the rotated data). Encode
+    ``x @ R``; rotations preserve L2/IP, so searches just rotate the query.
+    Gains come from cross-subspace correlation/anisotropy — on isotropic
+    data OPQ ~= PQ (same as FAISS's OPQMatrix)."""
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by M={m}")
+    key = jax.random.PRNGKey(seed)
+    if n > train_sample:
+        sel = jax.random.choice(key, n, (train_sample,), replace=False)
+        x = x[sel]
+    r = jnp.eye(d, dtype=jnp.float32)
+    cb = None
+    for it in range(outer_iters):
+        xr = x @ r
+        # cheap inner Lloyd while alternating; full train on the last pass
+        inner = n_iters if it == outer_iters - 1 else max(4, n_iters // 4)
+        cb = train_pq(xr, m, ksub=ksub, n_iters=inner,
+                      seed=seed + it, train_sample=train_sample)
+        if it == outer_iters - 1:
+            break
+        codes, _ = pq_encode(cb, xr)
+        rec = pq_decode(cb, codes)                       # X̂ in rotated space
+        u, _, vt = jnp.linalg.svd(x.T @ rec, full_matrices=False)
+        r = u @ vt
+    return r, cb
+
+
 # ----------------------------------------------------------- encode/decode
 @functools.partial(jax.jit, static_argnames=())
 def _encode_chunk(codebooks: jax.Array, xc: jax.Array) -> jax.Array:

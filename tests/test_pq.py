@@ -425,3 +425,44 @@ def test_pallas_decode_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
     np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_opq_improves_recall_on_correlated_data(rng):
+    """OPQ's learned rotation (FAISS OPQMatrix analog) must beat plain PQ
+    when subspaces are correlated, and persist through save/load."""
+    latent = rng.standard_normal((4096, 16)).astype(np.float32)
+    mix = rng.standard_normal((16, 64)).astype(np.float32)
+    pts = (latent @ mix
+           + 0.1 * rng.standard_normal((4096, 64))).astype(np.float32)
+    q = pts[:16] + 0.05 * rng.standard_normal((16, 64)).astype(np.float32)
+    d = ((q[:, None] - pts[None]) ** 2).sum(-1)
+    truth = np.argsort(d, 1)[:, :10]
+
+    def recall(idx):
+        _, ids = idx.search(q, 10, chunk_size=4096)
+        ids = np.asarray(ids)
+        return np.mean([len(set(a) & set(b)) / 10
+                        for a, b in zip(ids.tolist(), truth.tolist())])
+
+    pq = PQIndex(64, m=16, compute_dtype="f32")
+    pq.build(pts)
+    opq = PQIndex(64, m=16, compute_dtype="f32", opq=True)
+    opq.build(pts)
+    assert opq.rotation is not None
+    # rotation is orthogonal
+    r = np.asarray(opq.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(64), atol=1e-4)
+    r_pq, r_opq = recall(pq), recall(opq)
+    assert r_opq > r_pq + 0.03, (r_pq, r_opq)
+    # vectors() un-rotates back to the original basis
+    rec = opq.vectors()
+    rel = (np.sum((rec - pts) ** 2, -1).mean()
+           / np.sum(pts ** 2, -1).mean())
+    assert rel < 0.05, rel
+    # persistence round trip keeps the rotation
+    state = {k: np.asarray(v) for k, v in opq.state_dict().items()}
+    loaded = PQIndex.from_state_dict(state)
+    assert loaded.rotation is not None
+    _, i1 = opq.search(q, 5, chunk_size=4096)
+    _, i2 = loaded.search(q, 5, chunk_size=4096)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
