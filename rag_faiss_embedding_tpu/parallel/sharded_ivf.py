@@ -99,17 +99,19 @@ def _build_sharded_fused(
     quantized: bool, has_spill: bool, has_pending: bool,
     union_mode: str = "minrank", metric: str = "L2",
     backend: str = "xla", interpret: bool = False,
-    has_filter: bool = False,
+    has_filter: bool = False, has_pq: bool = False, has_pq_w: bool = False,
 ):
     n_tiers = has_spill + has_pending
 
     def kernel(q, cent, cent_sq, codes, scales, sq, ids, *rest):
         rest = list(rest)
-        # the filter is REPLICATED (global ids index it on every device)
+        # the filter / PQ codebooks are REPLICATED (global)
         filt = rest.pop(0) if has_filter else None
+        pq_cb = rest.pop(0) if has_pq else None
+        pq_w = rest.pop(0) if has_pq_w else None
         vals, gids = fused_ivf_search_math(
             q, cent, cent_sq, codes[0], scales[0] if quantized else None,
-            sq[0], ids[0], None, filt=filt,
+            sq[0], ids[0], None, filt=filt, pq=pq_cb, pq_w=pq_w,
             k=k, nprobe=nprobe, window=window, metric=metric,
             recall_target=recall_target, union_cap=union_cap, qc=qc,
             union_mode=union_mode,
@@ -144,6 +146,7 @@ def _build_sharded_fused(
 
     scale_spec = P(db_axis)
     filt_spec = (P(),) if has_filter else ()
+    filt_spec = filt_spec + (P(),) * (has_pq + has_pq_w)
     tier_specs = (P(db_axis),) * (4 * n_tiers)
     mapped = jax.shard_map(
         kernel,
@@ -172,6 +175,9 @@ class ShardedIVFIndex:
         seed: int = 0,
         union_cap: Optional[int] = None,
         backend: str = "auto",
+        pq_m: Optional[int] = None,
+        pq_ksub: int = 256,
+        pq_compute: str = "bf16",
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -180,10 +186,28 @@ class ShardedIVFIndex:
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         self.metric = metric
+        # ---- sharded IVF-PQ (multi-chip memory tier): per-device lists
+        # hold M-byte residual codes; same design as the single-chip
+        # IVFFlatIndex(pq_m=...) — see index/ivf.py rationale
+        self.pq_m = int(pq_m) if pq_m else None
+        self.pq_ksub = int(pq_ksub)
+        self.pq_compute = pq_compute
+        self.pq_codebooks: Optional[jax.Array] = None
+        self._pq_w_cache: Optional[jax.Array] = None
+        if self.pq_m:
+            if jnp.dtype(dtype) == jnp.int8:
+                raise ValueError("pq_m and int8 storage are exclusive")
+            if self.dim % self.pq_m:
+                raise ValueError(
+                    f"dim {self.dim} not divisible by pq_m={self.pq_m}"
+                )
+            dtype = "uint8"
         self.dtype = jnp.dtype(dtype)
         self.quantized = self.dtype == jnp.int8
-        # spill/pending tiers are tiny; int8 storage keeps them in bf16
-        self._tier_dtype = jnp.bfloat16 if self.quantized else self.dtype
+        # spill/pending tiers are tiny; int8/PQ storage keeps them in bf16
+        self._tier_dtype = (
+            jnp.bfloat16 if (self.quantized or self.pq_m) else self.dtype
+        )
         self.db_axis = db_axis
         self.n_dev = mesh.shape[db_axis]
         self.train_iters = train_iters
@@ -226,6 +250,60 @@ class ShardedIVFIndex:
         return self._next_id
 
     # ------------------------------------------------------------- building
+    def _pq_encode_rows(self, rows_f32, lists):
+        """Residual-encode rows against their list centroids; returns
+        ((n, M) uint8, (n,) exact ||c + r̂||²) — single-chip parity with
+        index/ivf.py:_pq_encode_rows (chunked, no corpus-sized decode)."""
+        from ..ops import pq as pq_ops
+
+        cents = self.centroids[lists]
+        resid = rows_f32.astype(jnp.float32) - cents
+        if self.pq_codebooks is None:
+            self.pq_codebooks = pq_ops.train_pq(
+                resid, self.pq_m, ksub=self.pq_ksub,
+                n_iters=self.train_iters, seed=self.seed,
+            )
+            self._pq_w_cache = None
+        codes_parts, sq_parts = [], []
+        chunk = 131072
+        for start in range(0, int(rows_f32.shape[0]), chunk):
+            rc = resid[start : start + chunk]
+            cc, _ = pq_ops.pq_encode(self.pq_codebooks, rc)
+            rec = pq_ops.pq_decode(self.pq_codebooks, cc)
+            sq_parts.append(dist_ops.sqnorms(
+                rec + cents[start : start + chunk]
+            ))
+            codes_parts.append(cc)
+        return jnp.concatenate(codes_parts), jnp.concatenate(sq_parts)
+
+    def _pq_operands(self):
+        """(codebooks in compute dtype, grouped Pallas weights|None), both
+        replicated — or (None, None) without PQ storage."""
+        if not self.pq_m:
+            return None, None
+        dt = jnp.bfloat16 if self.pq_compute == "bf16" else jnp.float32
+        cb = jax.device_put(
+            self.pq_codebooks.astype(dt), self._replicated
+        )
+        from ..ops.pallas_pq import decode_eligible, grouped_codebook, \
+            pick_group
+
+        dsub = self.dim // self.pq_m
+        platform = self.mesh.devices.flat[0].platform
+        pq_w = None
+        if self.backend != "xla" and decode_eligible(
+            platform, self.pq_m, self.pq_ksub, dsub, self._window or 128,
+            interpret=self.backend == "pallas",
+        ):
+            if self._pq_w_cache is None:
+                self._pq_w_cache = jax.device_put(
+                    grouped_codebook(self.pq_codebooks,
+                                     pick_group(self.pq_m, dsub)),
+                    self._replicated,
+                )
+            pq_w = self._pq_w_cache
+        return cb, pq_w
+
     def build(self, vectors: np.ndarray | jax.Array,
               row_ids: Optional[np.ndarray] = None) -> None:
         """Train centroids globally, build per-device local lists ON DEVICE.
@@ -253,8 +331,11 @@ class ShardedIVFIndex:
                 order = spatial_order(cents, seed=self.seed)
                 cents = cents[jnp.asarray(order)]
             self.centroids = cents
+        cdtype = self._tier_dtype
+        if self.pq_m and self.pq_compute == "f32":
+            cdtype = jnp.float32  # coarse dots feed the ADC residual shift
         cent_rep = jax.device_put(
-            self.centroids.astype(self._tier_dtype), self._replicated
+            self.centroids.astype(cdtype), self._replicated
         )
         cent_sq = jax.device_put(
             dist_ops.sqnorms(self.centroids), self._replicated
@@ -322,7 +403,15 @@ class ShardedIVFIndex:
         src = jax.vmap(lambda s, d, c: s.at[d].set(c))(src, dest, col)
         src = src.at[:, self.nlist * window:].set(per)  # wipe dump block
 
-        if self.quantized:
+        if self.pq_m:
+            codes, rec_sq = self._pq_encode_rows(
+                sorted_vecs.reshape(-1, self.dim),
+                jnp.clip(sorted_a, 0, self.nlist - 1).reshape(-1),
+            )
+            codes = codes.reshape(self.n_dev, per, self.pq_m)
+            rec_sq = rec_sq.reshape(self.n_dev, per)
+            scales = None
+        elif self.quantized:
             codes, scales = quantize_rows(
                 sorted_vecs.reshape(-1, self.dim)
             )
@@ -340,7 +429,9 @@ class ShardedIVFIndex:
             )
 
         padded_codes = pad_gather(codes, 0)
-        padded_sq = pad_gather(sorted_sq, 0.0)
+        # PQ lists rank by the ADC identity: reconstruction norms, not true
+        # norms (the spill tier below keeps TRUE norms — it stays dense)
+        padded_sq = pad_gather(rec_sq if self.pq_m else sorted_sq, 0.0)
         padded_ids = pad_gather(gids, -1)
         padded_scales = pad_gather(scales, 0.0) if scales is not None else None
 
@@ -548,11 +639,15 @@ class ShardedIVFIndex:
             else default_union_cap(self.nlist, nprobe)
         )
         qc = pick_query_chunk(
-            nprobe, self._window, self.dim, self.dtype.itemsize, nq,
-            union_cap=union_cap,
+            nprobe, self._window, self.dim,
+            4 if self.pq_m else self.dtype.itemsize,  # PQ decodes to dense
+            nq, union_cap=union_cap,
         )
         backend, interpret = "xla", False
-        if self.backend != "xla" and filt is None:
+        pq_cb, pq_w = self._pq_operands()
+        if pq_w is not None:
+            interpret = self.mesh.devices.flat[0].platform != "tpu"
+        if self.backend != "xla" and filt is None and not self.pq_m:
             from ..ops.pallas_ivf import pallas_eligible
 
             # the MESH decides the platform (a registered TPU plugin may own
@@ -573,13 +668,20 @@ class ShardedIVFIndex:
             self._pending_dev is not None,
             union_mode="chunkmax" if self.nlist > 2048 else "minrank",
             metric=self.metric, backend=backend, interpret=interpret,
-            has_filter=filt is not None,
+            has_filter=filt is not None, has_pq=pq_cb is not None,
+            has_pq_w=pq_w is not None,
         )
         scales = (
             self._scales if self.quantized
             else jnp.zeros((self.n_dev, 1), jnp.float32)
         )
-        args = (filt,) + tiers if filt is not None else tiers
+        args = tiers
+        if pq_w is not None:
+            args = (pq_w,) + args
+        if pq_cb is not None:
+            args = (pq_cb,) + args
+        if filt is not None:
+            args = (filt,) + args
         vals, ids = fn(
             q, self._cent_store, self._cent_sq, self._vecs, scales,
             self._sq, self._ids, *args,
@@ -608,15 +710,30 @@ class ShardedIVFIndex:
         if self._n_built:
             ids = np.asarray(self._ids).reshape(-1)
             keep = ids >= 0
-            flat = self._vecs.reshape(-1, self.dim)
-            if self.quantized:
+            if self.pq_m:
+                from ..ops import pq as pq_ops
+
+                # reconstruction = decoded residual + the slot's list
+                # centroid (slot // window within each device's block)
+                flat = self._vecs.reshape(-1, self.pq_m)
+                n_slots = self._vecs.shape[1]
+                slot = np.arange(self.n_dev * n_slots) % n_slots
+                lists = np.minimum(slot // self._window, self.nlist - 1)
+                built = np.asarray(
+                    pq_ops.pq_decode(self.pq_codebooks, flat)
+                    + self.centroids[jnp.asarray(lists, jnp.int32)]
+                )
+            elif self.quantized:
                 from ..ops.quantize import dequantize
 
                 built = np.asarray(dequantize(
-                    flat, self._scales.reshape(-1)
+                    self._vecs.reshape(-1, self.dim),
+                    self._scales.reshape(-1),
                 ))
             else:
-                built = np.asarray(flat.astype(jnp.float32))
+                built = np.asarray(
+                    self._vecs.reshape(-1, self.dim).astype(jnp.float32)
+                )
             parts_v.append(built[keep])
             parts_i.append(ids[keep])
             if self._spill is not None:
@@ -674,6 +791,17 @@ class ShardedIVFIndex:
             if self.centroids is not None
             else np.zeros((0, self.dim), np.float32),
         }
+        if self.pq_m:
+            state.update({
+                "pq_m": self.pq_m,
+                "pq_ksub": self.pq_ksub,
+                "pq_compute": self.pq_compute,
+                "pq_codebooks": np.asarray(self.pq_codebooks)
+                if self.pq_codebooks is not None
+                else np.zeros(
+                    (self.pq_m, 0, self.dim // self.pq_m), np.float32
+                ),
+            })
         if self._n_built:
             ids_np = np.asarray(self._ids)          # (n_dev, n_slots)
             n_slots = ids_np.shape[1]
@@ -686,7 +814,7 @@ class ShardedIVFIndex:
             state.update({
                 "lengths": lengths,
                 "codes": self._to_host(
-                    self._vecs.reshape(-1, self.dim)[pos]
+                    self._vecs.reshape(-1, self._vecs.shape[-1])[pos]
                 ),
                 "sqnorms": np.asarray(self._sq.reshape(-1)[pos]),
                 "sorted_ids": ids_np.reshape(-1)[live],
@@ -777,15 +905,28 @@ class ShardedIVFIndex:
             from ..core.mesh import make_mesh
 
             mesh = make_mesh({"db": len(jax.devices())})
+        pq_kwargs = {}
+        if "pq_m" in state:
+            pq_kwargs = {
+                "pq_m": int(item(state["pq_m"])),
+                "pq_ksub": int(item(state["pq_ksub"])),
+                "pq_compute": str(item(state["pq_compute"])),
+            }
         idx = cls(
             dim=int(item(state["dim"])),
             mesh=mesh,
             nlist=int(item(state["nlist"])),
             nprobe=int(item(state["nprobe"])),
             metric=str(item(state["metric"])),
-            dtype=str(item(state["dtype"])),
+            dtype=str(item(state["dtype"])) if "pq_m" not in state
+            else "bfloat16",  # __init__ re-derives uint8 from pq_m
+            **pq_kwargs,
             **kwargs,
         )
+        if "pq_codebooks" in state:
+            cb = np.asarray(state["pq_codebooks"])
+            if cb.size:
+                idx.pq_codebooks = jnp.asarray(cb, jnp.float32)
         if "window_quantile" in state:
             idx.window_quantile = float(item(state["window_quantile"]))
         centroids = np.asarray(state["centroids"])
@@ -836,8 +977,11 @@ class ShardedIVFIndex:
             idx._install_rows(
                 codes, sq, ids, scales, dev_of_row, list_of_row, window
             )
+            cdtype = idx._tier_dtype
+            if idx.pq_m and idx.pq_compute == "f32":
+                cdtype = jnp.float32
             idx._cent_store = jax.device_put(
-                idx.centroids.astype(idx._tier_dtype), idx._replicated
+                idx.centroids.astype(cdtype), idx._replicated
             )
             idx._cent_sq = jax.device_put(
                 dist_ops.sqnorms(idx.centroids), idx._replicated
