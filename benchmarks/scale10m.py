@@ -34,7 +34,9 @@ REPS = 4
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true",
-                        help="CPU-scale smoke (262k rows)")
+                        help="CPU-scale smoke")
+    parser.add_argument("--rows-m", type=int, default=10,
+                        help="corpus size in Mi rows (TPU runs)")
     parser.add_argument("--out", default="SCALE_r03.json")
     args = parser.parse_args()
 
@@ -51,8 +53,12 @@ def main() -> None:
     if small:
         n, nlist, chunk, q_batch, reps = 1 << 16, 128, 1 << 14, 128, 1
     else:
-        n, nlist, chunk, q_batch, reps = 10 * (1 << 20), 16384, 1 << 20, \
-            Q_BATCH, REPS
+        n = args.rows_m * (1 << 20)
+        # 16384 lists at 10M, 32768 past that: assignment is O(n * nlist)
+        # and training O(sample * nlist) — deeper lists (bigger windows)
+        # are the cheaper trade at 100M
+        nlist = 16384 if n <= 16 * (1 << 20) else 32768
+        chunk, q_batch, reps = 1 << 20, Q_BATCH, REPS
     n_modes = 8192
     key = jax.random.PRNGKey(0)
     kc, km, kn, kq = jax.random.split(key, 4)
@@ -83,6 +89,8 @@ def main() -> None:
     t0 = time.perf_counter()
     idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, pq_m=M_PQ,
                        train_iters=10)
+    if n > 32 * (1 << 20):
+        idx.train_sample_per_list = 32  # bound Lloyd cost at 100M scale
     idx.build_chunked(source, n=n, chunk_size=chunk)
     build_s = time.perf_counter() - t0
     hbm_bytes = int(
@@ -133,7 +141,7 @@ def main() -> None:
         return max((best - rtt) / reps, 1e-9)
 
     results = {}
-    for nprobe in (8, 16, 32, 64):
+    for nprobe in (8, 16, 32):
         if nprobe > nlist:
             continue
         per_batch = timed(lambda: idx.search(queries, 10, nprobe=nprobe))

@@ -2,7 +2,9 @@
 
 Capability parity with ``datastore_manager.py:26-236`` — the reference's
 8-option maintenance menu (initialize db / load documents / save indices /
-load indices / verify system / document count / test search / exit). The
+load indices / verify system / document count / test search / exit), plus
+a 9th option the reference cannot offer: per-document deletion (it can
+only drop the whole database). The
 reference version is broken legacy code calling MongoDB-era methods that no
 longer exist (``datastore_manager.py:227-236`` calls ``collection.drop`` etc.
 on the SQLite Database — SURVEY.md §2 row 12); this one actually works
@@ -31,7 +33,8 @@ RAG Datastore Admin
   5) Verify system (self-similarity smoke test)
   6) Show document count
   7) Test similarity search
-  8) Exit
+  8) Delete document (by id or url)
+  9) Exit
 """
 
 
@@ -75,6 +78,18 @@ class AdminTool:
         print(f"documents: {n}; indexed vectors: {self.manager.vector_store.ntotal}")
         return n
 
+    def delete_document(self, ident: str) -> int:
+        """Delete one document by numeric id or by url (tombstones the
+        vector, drops the SQLite row, persists the index)."""
+        ident = ident.strip()
+        if ident.isdigit():
+            n = self.manager.delete_documents(doc_ids=[int(ident)],
+                                              persist=True)
+        else:
+            n = self.manager.delete_documents(urls=[ident], persist=True)
+        print(f"deleted {n} document(s)")
+        return n
+
     def test_search(self, query: str) -> None:
         results = self.manager.search_similar_documents(query)
         for i, doc in enumerate(results, 1):
@@ -110,6 +125,13 @@ class AdminTool:
                 if query:
                     self.test_search(query)
             elif choice == "8":
+                try:
+                    ident = input("document id or url: ").strip()
+                except EOFError:
+                    continue
+                if ident:
+                    self.delete_document(ident)
+            elif choice == "9":
                 break
             else:
                 print("unknown option")

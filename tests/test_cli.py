@@ -59,6 +59,13 @@ def test_admin_tool_flow(manager, capsys):
     out = capsys.readouterr().out
     assert "VERIFY: OK" in out
     assert "db.html" in out
+    # option 8: deletion by id and by url (persists both stores)
+    assert admin.delete_document("4") == 1
+    assert admin.delete_document("https://ex/jax") == 1
+    assert admin.delete_document("https://nope") == 0
+    assert admin.document_count() == 1
+    results = admin.manager.search_similar_documents(DOCS[0]["content"], k=3)
+    assert [r["id"] for r in results] == [1]
 
 
 def test_process_python_files(tmp_path):
