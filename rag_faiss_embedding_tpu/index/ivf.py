@@ -169,13 +169,15 @@ class IVFFlatIndex:
         union_cap: Optional[int] = None,
         balance_weight: float = 0.0,
         rerank: Optional[bool] = None,
-        rerank_depth: int = 16,
+        rerank_depth: Optional[int] = None,
+        refine_dtype: str = "int8",
         union_mode: str = "auto",
         backend: str = "auto",
         pallas_cap: int = 2,
         pq_m: Optional[int] = None,
         pq_ksub: int = 256,
         pq_compute: str = "bf16",
+        pq_opq: bool = False,
     ):
         if metric not in ("L2", "IP"):
             raise ValueError(f"metric must be 'L2' or 'IP', got {metric!r}")
@@ -198,6 +200,13 @@ class IVFFlatIndex:
         self.pq_compute = pq_compute
         self.pq_codebooks: Optional[jax.Array] = None  # (M, ksub, dsub) f32
         self._pq_cb_store: Optional[jax.Array] = None  # compute-dtype copy
+        # OPQ for the residual codec (FAISS OPQMatrix before IndexIVFPQ):
+        # residuals encode as (x - c)@R, so subspaces decorrelate WITHIN
+        # the coarse cell; the scan rotates queries once per batch
+        # (q·r̂ = (q@R)·dec — R orthogonal) and the coarse stage stays
+        # unrotated. Gains track residual anisotropy, same as flat OPQ.
+        self.pq_opq = bool(pq_opq)
+        self.pq_rot: Optional[jax.Array] = None        # (D, D) f32
         if self.pq_m:
             if jnp.dtype(dtype) == jnp.int8:
                 raise ValueError("pq_m and int8 storage are exclusive")
@@ -280,10 +289,24 @@ class IVFFlatIndex:
         # recall@10 at ~0.980 at 1M x 384, below the 0.99 gate; the shadow
         # costs 2 bytes/dim extra HBM — disable for memory-tight corpora)
         self.rerank = self.quantized if rerank is None else bool(rerank)
-        if self.pq_m and self.rerank:
-            raise ValueError("rerank shadow is not supported with pq_m "
-                             "(PQ is the memory tier)")
-        self.rerank_depth = int(rerank_depth)
+        # PQ refine (FAISS IndexRefine analog): rerank=True with pq_m keeps
+        # an int8 (default) or bf16 shadow of the full rows and re-scores
+        # the ADC scan's top rerank_depth candidates exactly. The ADC
+        # ranking is codec-bound (docs/PERF.md "PQ on TPU": recall@10 ~0.32
+        # at 10M while recall@1 hits 0.97 — coverage is fine, near-tied
+        # neighbors scramble); an int8 shadow costs D+8 B/row on top of the
+        # M B/row codes (3.9 GB at 10M x 384 — still 2x under dense bf16)
+        # and restores int8-tier recall. OFF by default: pure PQ remains
+        # the max-capacity tier.
+        if refine_dtype not in ("int8", "bfloat16"):
+            raise ValueError(f"bad refine_dtype {refine_dtype!r}")
+        self.refine_dtype = refine_dtype
+        # ADC candidate ranking needs a deeper rerank pool than the int8
+        # tier's (the scramble the refine fixes IS the candidate order)
+        self.rerank_depth = int(
+            rerank_depth if rerank_depth is not None
+            else (64 if (self.pq_m and self.rerank) else 16)
+        )
         # "minrank": per-query probe sets compacted with per-query rank
         #   guarantees (the semantically-safe default for small indexes);
         # "chunkmax": chunk-aggregate list ranking (the large-nlist fast
@@ -294,7 +317,11 @@ class IVFFlatIndex:
         self.union_mode = union_mode
         # query chunk override (None = ops/ivf_scan.pick_query_chunk)
         self.query_chunk: Optional[int] = None
+        # rerank/refine shadow: bf16 rows (int8 storage) or int8/bf16 rows
+        # (PQ storage; scales+exact norms ride along for int8)
         self._sorted_shadow: Optional[jax.Array] = None
+        self._sorted_shadow_scales: Optional[jax.Array] = None
+        self._sorted_shadow_sq: Optional[jax.Array] = None
         # chunk-stage backend: "auto" dispatches the Pallas fused union-scan
         # kernel (ops/pallas_ivf.py) when eligible (TPU, full-precision
         # storage, 128-aligned shapes), else the XLA chunk path
@@ -405,26 +432,61 @@ class IVFFlatIndex:
         cents = self.centroids[cl]
         resid = rows_f32 - cents
         if self.pq_codebooks is None:
-            self.pq_codebooks = jax.device_put(
-                pq_ops.train_pq(
-                    resid, self.pq_m, ksub=self.pq_ksub,
-                    n_iters=self.train_iters, seed=self.seed,
-                ),
-                self.device,
-            )
-            self._pq_cb_store = None
-            self._pq_w_cache = None
+            self._train_pq_codec(resid)
+        if self.pq_rot is not None:
+            resid = resid @ self.pq_rot
         codes_parts, sq_parts = [], []
         chunk = 131072
         for start in range(0, int(rows_f32.shape[0]), chunk):
             rc = resid[start : start + chunk]
             cc, _ = pq_ops.pq_encode(self.pq_codebooks, rc)
             rec = pq_ops.pq_decode(self.pq_codebooks, cc)
+            if self.pq_rot is not None:
+                rec = rec @ self.pq_rot.T  # back to the original space
             sq_parts.append(
                 dist_ops.sqnorms(rec + cents[start : start + chunk])
             )
             codes_parts.append(cc)
         return jnp.concatenate(codes_parts), jnp.concatenate(sq_parts)
+
+    def _train_pq_codec(self, resid_sample: jax.Array) -> None:
+        """Train the residual codebooks (and the OPQ rotation when
+        ``pq_opq``) on a residual sample; invalidates cached copies."""
+        from ..ops import pq as pq_ops
+
+        if self.pq_opq:
+            rot, cb = pq_ops.train_opq(
+                resid_sample, self.pq_m, ksub=self.pq_ksub,
+                n_iters=self.train_iters, seed=self.seed,
+            )
+            self.pq_rot = jax.device_put(rot, self.device)
+        else:
+            cb = pq_ops.train_pq(
+                resid_sample, self.pq_m, ksub=self.pq_ksub,
+                n_iters=self.train_iters, seed=self.seed,
+            )
+        self.pq_codebooks = jax.device_put(cb, self.device)
+        self._pq_cb_store = None
+        self._pq_w_cache = None
+
+    def _refine_rows(
+        self, rows_f32: jax.Array, exact_sq: jax.Array
+    ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array]:
+        """Shadow rows for the PQ refine stage: int8 codes + per-row scales
+        (``refine_dtype='int8'``) or bf16 rows; exact pre-quantization
+        norms ride along (the int8 tier's scoring convention — exact
+        ||x||², quantized cross term)."""
+        if self.refine_dtype == "int8":
+            codes, scales = quantize_rows(rows_f32)
+            return codes, scales, exact_sq
+        return rows_f32.astype(jnp.bfloat16), None, exact_sq
+
+    def _pq_shadow(self) -> Optional[Tuple[jax.Array, ...]]:
+        """Refine-shadow triple for the fused scan, or None."""
+        if self._sorted_shadow is None or not self.pq_m:
+            return None
+        return (self._sorted_shadow, self._sorted_shadow_scales,
+                self._sorted_shadow_sq)
 
     def _pq_w(self) -> Optional[jax.Array]:
         """Grouped block-diagonal codebook for the Pallas decode kernel
@@ -574,6 +636,7 @@ class IVFFlatIndex:
         src = src.at[nlist * window:].set(n)  # wipe the dump/sentinel block
 
         sorted_sq = dist_ops.sqnorms(sorted_f32)  # exact, pre-quantization
+        exact_sq = sorted_sq  # PQ overwrites sorted_sq with ||c + r̂||²
         if self.pq_m:
             sorted_codes, sorted_sq = self._pq_encode_rows(
                 sorted_f32, a_sorted
@@ -594,13 +657,24 @@ class IVFFlatIndex:
             jnp.concatenate([sorted_scales, jnp.zeros((1,))])[src]
             if sorted_scales is not None else None
         )
-        padded_shadow = (
-            jnp.concatenate(
+        padded_shadow = padded_sh_scales = padded_sh_sq = None
+        if self.quantized and self.rerank:
+            padded_shadow = jnp.concatenate(
                 [sorted_f32.astype(jnp.bfloat16),
                  jnp.zeros((1, self.dim), jnp.bfloat16)]
             )[src]
-            if (self.quantized and self.rerank) else None
-        )
+        elif self.pq_m and self.rerank:
+            sh_codes, sh_scales, sh_sq = self._refine_rows(
+                sorted_f32, exact_sq
+            )
+            padded_shadow = jnp.concatenate(
+                [sh_codes, jnp.zeros((1, self.dim), sh_codes.dtype)]
+            )[src]
+            if sh_scales is not None:
+                padded_sh_scales = jnp.concatenate(
+                    [sh_scales, jnp.zeros((1,))]
+                )[src]
+            padded_sh_sq = jnp.concatenate([sh_sq, jnp.zeros((1,))])[src]
 
         # ---- spill rows (rank >= window, or sentinel list) -> exact tier
         jax.block_until_ready(padded_codes)
@@ -639,6 +713,14 @@ class IVFFlatIndex:
         self._sorted_shadow = (
             jax.device_put(padded_shadow, dev)
             if padded_shadow is not None else None
+        )
+        self._sorted_shadow_scales = (
+            jax.device_put(padded_sh_scales, dev)
+            if padded_sh_scales is not None else None
+        )
+        self._sorted_shadow_sq = (
+            jax.device_put(padded_sh_sq, dev)
+            if padded_sh_sq is not None else None
         )
         self._offsets = jax.device_put(
             jnp.arange(nlist, dtype=jnp.int32) * window, dev
@@ -694,8 +776,9 @@ class IVFFlatIndex:
         ``train_rows`` when given, else a per-chunk prefix sample (fine for
         unordered corpora; pass an explicit sample for ordered ones).
         ``balance='spill'`` semantics only. Works for every storage dtype
-        whose SLOTS fit on device — PQ (M B/row), int8 (D B/row, shadow
-        rerank unsupported: it would double the footprint), bf16/f32."""
+        whose SLOTS fit on device — PQ (M B/row; +D+8 B/row with the
+        refine shadow, ``rerank=True``), int8 (D B/row, shadow rerank
+        unsupported: it would double the footprint), bf16/f32."""
         if self.balance != "spill":
             raise ValueError("build_chunked supports balance='spill' only")
         if self.quantized and self.rerank:
@@ -752,19 +835,11 @@ class IVFFlatIndex:
         # recall@10 0.23 instead of ~0.8 at 10M)
         t0 = time.perf_counter()
         if self.pq_m and self.pq_codebooks is None:
-            from ..ops import pq as pq_ops
-
             sample = jnp.asarray(
                 source(0, min(chunk_size, n)), jnp.float32
             )[:65536]
             a_s = jnp.asarray(assign_np[: sample.shape[0]], jnp.int32)
-            resid = sample - self.centroids[a_s]
-            self.pq_codebooks = jax.device_put(
-                pq_ops.train_pq(resid, self.pq_m, ksub=self.pq_ksub,
-                                n_iters=self.train_iters, seed=self.seed),
-                self.device,
-            )
-            self._pq_cb_store = None
+            self._train_pq_codec(sample - self.centroids[a_s])
 
         # ---- pass B: residual encode + DEVICE-side slot scatter (the
         # padded layout is ~0.6 GB at 10M rows — assembling it on host and
@@ -784,6 +859,19 @@ class IVFFlatIndex:
             jax.device_put(jnp.zeros((n_slots,), jnp.float32), dev)
             if self.quantized else None
         )
+        padded_shadow = padded_sh_scales = padded_sh_sq = None
+        if self.pq_m and self.rerank:
+            sh_dt = jnp.int8 if self.refine_dtype == "int8" else jnp.bfloat16
+            padded_shadow = jax.device_put(
+                jnp.zeros((n_slots, self.dim), sh_dt), dev
+            )
+            if self.refine_dtype == "int8":
+                padded_sh_scales = jax.device_put(
+                    jnp.zeros((n_slots,), jnp.float32), dev
+                )
+            padded_sh_sq = jax.device_put(
+                jnp.zeros((n_slots,), jnp.float32), dev
+            )
         spill_vecs, spill_ids = [], []
         seen = np.zeros((nlist,), np.int64)  # rows already placed per list
         for i in range(n_chunks):
@@ -827,6 +915,16 @@ class IVFFlatIndex:
             )
             if padded_scales is not None:
                 padded_scales = padded_scales.at[dest].set(scales[kpos])
+            if padded_shadow is not None:
+                sh_codes, sh_scales, sh_sq = self._refine_rows(
+                    rows, dist_ops.sqnorms(rows)
+                )
+                padded_shadow = padded_shadow.at[dest].set(sh_codes[kpos])
+                if padded_sh_scales is not None:
+                    padded_sh_scales = padded_sh_scales.at[dest].set(
+                        sh_scales[kpos]
+                    )
+                padded_sh_sq = padded_sh_sq.at[dest].set(sh_sq[kpos])
             if (~keep).any():
                 spos = jnp.asarray(np.nonzero(~keep)[0], jnp.int32)
                 spill_vecs.append(rows[spos])  # stays on device
@@ -841,7 +939,9 @@ class IVFFlatIndex:
         self._sorted_sq = padded_sq
         self._sorted_ids = padded_ids
         self._sorted_scales = padded_scales
-        self._sorted_shadow = None
+        self._sorted_shadow = padded_shadow
+        self._sorted_shadow_scales = padded_sh_scales
+        self._sorted_shadow_sq = padded_sh_sq
         self._offsets = jax.device_put(
             jnp.arange(nlist, dtype=jnp.int32) * window, dev
         )
@@ -997,8 +1097,9 @@ class IVFFlatIndex:
                 q, self._cent_store, self._cent_sq,
                 self._sorted_vecs, self._sorted_scales,
                 self._sorted_sq, self._sorted_ids, spill,
-                self._sorted_shadow, filt,
+                None if self.pq_m else self._sorted_shadow, filt,
                 self._pq_cb_compute() if self.pq_m else None, pq_w,
+                self._pq_shadow(), self.pq_rot,
                 k=k, nprobe=nprobe, window=self._window, metric=self.metric,
                 recall_target=self.recall_target,
                 union_cap=self.union_cap, rerank_depth=self.rerank_depth,
@@ -1084,6 +1185,8 @@ class IVFFlatIndex:
         self._sorted_sq = None
         self._sorted_ids = None
         self._sorted_shadow = None
+        self._sorted_shadow_scales = None
+        self._sorted_shadow_sq = None
         self._offsets = None
         self._lengths = None
         self._window = 0
@@ -1111,14 +1214,30 @@ class IVFFlatIndex:
             live = self._live_mask()
             pos = jnp.asarray(np.nonzero(live)[0])
             built = self._sorted_vecs[pos]
-            if self.pq_m:
+            if self.pq_m and self._sorted_shadow is not None:
+                # the refine shadow is a far better reconstruction than the
+                # M-byte codes (int8: ~1e-2 relative error vs PQ's lossy
+                # codebook) — rebuild()/persistence keep shadow fidelity
+                sh = self._sorted_shadow[pos]
+                if self._sorted_shadow_scales is not None:
+                    from ..ops.quantize import dequantize
+
+                    built = np.asarray(
+                        dequantize(sh, self._sorted_shadow_scales[pos])
+                    )
+                else:
+                    built = np.asarray(sh.astype(jnp.float32))
+            elif self.pq_m:
                 from ..ops import pq as pq_ops
 
                 # reconstruction: centroid of the slot's list + decoded
-                # residual (pos // window IS the list id — block layout)
+                # residual (pos // window IS the list id — block layout);
+                # OPQ codes live in the rotated basis -> un-rotate
+                resid = pq_ops.pq_decode(self.pq_codebooks, built)
+                if self.pq_rot is not None:
+                    resid = resid @ self.pq_rot.T
                 built = np.asarray(
-                    pq_ops.pq_decode(self.pq_codebooks, built)
-                    + self.centroids[pos // self._window]
+                    resid + self.centroids[pos // self._window]
                 )
             elif self.quantized:
                 from ..ops.quantize import dequantize
@@ -1168,6 +1287,7 @@ class IVFFlatIndex:
             "balance": self.balance,
             "window": self._window,
             "next_id": self._next_id,
+            "rerank_depth": self.rerank_depth,
             "n_streamed": self._n_streamed,
             "n_spill": self._n_spill,
             "centroids": np.asarray(self.centroids)
@@ -1188,6 +1308,8 @@ class IVFFlatIndex:
                     (self.pq_m, 0, self.dim // self.pq_m), np.float32
                 ),
             })
+            if self.pq_rot is not None:
+                state["pq_rot"] = np.asarray(self.pq_rot)
         if self._n_built:
             live = self._live_mask()
             pos = jnp.asarray(np.nonzero(live)[0])  # block order
@@ -1205,6 +1327,15 @@ class IVFFlatIndex:
                 state["scales"] = np.asarray(self._sorted_scales[pos])
             if self._sorted_shadow is not None:
                 state["shadow"] = self._to_host(self._sorted_shadow[pos])
+                if self._sorted_shadow_scales is not None:
+                    state["shadow_scales"] = np.asarray(
+                        self._sorted_shadow_scales[pos]
+                    )
+                if self._sorted_shadow_sq is not None:
+                    state["shadow_sq"] = np.asarray(
+                        self._sorted_shadow_sq[pos]
+                    )
+                state["refine_dtype"] = self.refine_dtype
         if self._pending.ntotal:
             p = self._pending
             plive = self._pending_rowids >= 0  # drop remove_ids tombstones
@@ -1229,6 +1360,8 @@ class IVFFlatIndex:
         scales: Optional[jax.Array],
         lengths_np: np.ndarray,  # (nlist,) live counts (<= window)
         shadow: Optional[jax.Array] = None,
+        shadow_scales: Optional[jax.Array] = None,
+        shadow_sq: Optional[jax.Array] = None,
     ) -> None:
         """Scatter compact per-list rows into the block-padded layout."""
         nlist, window = self.nlist, self._window
@@ -1261,10 +1394,22 @@ class IVFFlatIndex:
         self._sorted_shadow = (
             jax.device_put(
                 jnp.concatenate(
-                    [shadow, jnp.zeros((1, self.dim), jnp.bfloat16)]
+                    [shadow, jnp.zeros((1, self.dim), shadow.dtype)]
                 )[src], dev
             )
             if shadow is not None else None
+        )
+        self._sorted_shadow_scales = (
+            jax.device_put(
+                jnp.concatenate([shadow_scales, jnp.zeros((1,))])[src], dev
+            )
+            if shadow_scales is not None else None
+        )
+        self._sorted_shadow_sq = (
+            jax.device_put(
+                jnp.concatenate([shadow_sq, jnp.zeros((1,))])[src], dev
+            )
+            if shadow_sq is not None else None
         )
         self._offsets = jax.device_put(
             jnp.arange(nlist, dtype=jnp.int32) * window, dev
@@ -1315,8 +1460,16 @@ class IVFFlatIndex:
                 idx.pq_codebooks = jax.device_put(
                     jnp.asarray(cb, jnp.float32), idx.device
                 )
+        if "pq_rot" in state:
+            idx.pq_opq = True
+            idx.pq_rot = jax.device_put(
+                jnp.asarray(np.asarray(state["pq_rot"]), jnp.float32),
+                idx.device,
+            )
         if "window_quantile" in state:
             idx.window_quantile = float(item(state["window_quantile"]))
+        if "rerank_depth" in state:
+            idx.rerank_depth = int(item(state["rerank_depth"]))
         if "balance" in state:
             idx.balance = str(item(state["balance"]))
         centroids = np.asarray(state["centroids"])
@@ -1347,10 +1500,20 @@ class IVFFlatIndex:
                 jnp.asarray(state["scales"], jnp.float32)
                 if idx.quantized else None
             )
-            shadow = (
-                codec.from_host(state["shadow"], jnp.bfloat16)
-                if "shadow" in state else None
-            )
+            shadow = shadow_scales = shadow_sq = None
+            if "shadow" in state:
+                sh_np = np.asarray(state["shadow"])
+                # int8 refine shadow saves as int8; bf16 saves as uint16 bits
+                sh_dt = jnp.int8 if sh_np.dtype == np.int8 else jnp.bfloat16
+                shadow = codec.from_host(sh_np, sh_dt)
+                if "shadow_scales" in state:
+                    shadow_scales = jnp.asarray(
+                        state["shadow_scales"], jnp.float32
+                    )
+                if "shadow_sq" in state:
+                    shadow_sq = jnp.asarray(state["shadow_sq"], jnp.float32)
+                if "refine_dtype" in state:
+                    idx.refine_dtype = str(item(state["refine_dtype"]))
             idx.rerank = shadow is not None  # no shadow saved -> no rerank
             lengths_np = np.asarray(state["lengths"], np.int64)
             if fmt == "sorted_v2":
@@ -1367,7 +1530,8 @@ class IVFFlatIndex:
                 if scales is not None:
                     scales = scales[sel]
             idx._install_blocks(codes, sq, ids, scales, lengths_np,
-                                shadow=shadow)
+                                shadow=shadow, shadow_scales=shadow_scales,
+                                shadow_sq=shadow_sq)
         if "pending_codes" in state:
             p_state = {
                 "dim": idx.dim, "metric": idx.metric, "dtype": str(idx.dtype),

@@ -236,6 +236,8 @@ def _chunk_body(
 
 def _chunk_body_pq(
     q: jax.Array,              # (qc, D) f32
+    qr: jax.Array,             # (qc, D) f32 OPQ-rotated queries (== q when
+    #                            no rotation; drives the residual matmul)
     u: jax.Array,              # (U,) union list ids (sorted)
     cdu: jax.Array,            # (qc, U) raw q·centroid dots of the union
     codes: jax.Array,          # ((nlist+1)*window, M) uint8 PQ codes
@@ -251,6 +253,7 @@ def _chunk_body_pq(
     filt: Optional[jax.Array] = None,
     pq_w: Optional[jax.Array] = None,   # grouped codebook -> Pallas decode
     interpret: bool = False,
+    shadow: Optional[Tuple[jax.Array, ...]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """PQ-storage chunk stage: the union block gather moves M BYTES per row
     (the whole point of the tier), codes decode to dense rows against the
@@ -261,7 +264,16 @@ def _chunk_body_pq(
 
     ``pq_w`` present -> the decode runs the Pallas one-hot MXU kernel
     (ops/pallas_pq.py; XLA's gather decode measured 121 ms vs ~2 ms for
-    the matmul it feeds)."""
+    the matmul it feeds).
+
+    ``shadow`` present -> int8/bf16 REFINE (FAISS ``IndexRefine`` analog,
+    measured rationale in docs/PERF.md "PQ on TPU": ADC ranking scrambles
+    near-tied neighbors, capping recall@10 at ~0.32 on shell-structured
+    data while recall@1 hits 0.97 — coverage is fine, the CODE ranking
+    isn't). A triple ``(codes, scales|None, exact_sq)`` of block-padded
+    shadow rows; the top ``rerank_depth`` ADC candidates per query are
+    re-scored exactly against the dequantized shadow (a tiny slot gather +
+    batched matvec, same shape as the int8 tier's bf16 rerank)."""
     from .pq import _decode_bf16
 
     m = codes.shape[1]
@@ -276,7 +288,7 @@ def _chunk_body_pq(
         )                                              # (U*window, D) bf16
     else:
         dec = _decode_bf16(pq_cb, rows)                # (U*window, D)
-    qs = q.astype(dec.dtype)
+    qs = qr.astype(dec.dtype)
     dots_r = jnp.dot(qs, dec.T, preferred_element_type=jnp.float32,
                      precision=_matmul_precision(qs))
     dots = jnp.repeat(cdu, window, axis=1) + dots_r    # (qc, U*window)
@@ -285,8 +297,25 @@ def _chunk_body_pq(
     k_cand = min(max(k, rerank_depth), scores.shape[1])
     best_v, pos = lax.approx_max_k(scores, k_cand,
                                    recall_target=recall_target)
-    best_i = rid[pos.astype(jnp.int32)]
-    if k_cand > k:
+    pos = pos.astype(jnp.int32)
+    best_i = rid[pos]
+    if shadow is not None:
+        s_codes, s_scales, s_sq = shadow
+        slot = u[pos // window] * window + pos % window      # (qc, k_cand)
+        srows = s_codes[slot].astype(jnp.float32)            # (qc, kc, D)
+        if s_scales is not None:
+            srows = srows * s_scales[slot][..., None]
+        dots = jnp.einsum(
+            "qd,qkd->qk", q, srows, preferred_element_type=jnp.float32
+        )
+        sc = 2.0 * dots - s_sq[slot] if metric == "L2" else dots
+        # re-mask: the PartialReduce pads from masked slots when fewer
+        # than k_cand candidates are live, and the exact re-score would
+        # RESURRECT a filtered/tombstoned row (same as _chunk_body)
+        sc = jnp.where(_live_rows(best_i, filt), sc, NEG_INF)
+        best_v, sel = lax.top_k(sc, min(k, k_cand))
+        best_i = jnp.take_along_axis(best_i, sel, axis=1)
+    elif k_cand > k:
         best_v, sel = lax.top_k(best_v, k)
         best_i = jnp.take_along_axis(best_i, sel, axis=1)
     return best_v, best_i
@@ -306,6 +335,10 @@ def fused_ivf_search_math(
     pq: Optional[jax.Array] = None,      # (M, ksub, dsub) codebooks -> codes
     #                                      are ((nlist+1)*window, M) uint8
     pq_w: Optional[jax.Array] = None,    # grouped codebook: Pallas decode
+    pq_shadow: Optional[Tuple[jax.Array, ...]] = None,  # (codes, scales|None,
+    #                                      exact_sq) refine rows (PQ storage)
+    pq_r: Optional[jax.Array] = None,    # (D, D) OPQ rotation: codes encode
+    #                                      (x - c)@R, so q·r̂ = (q@R)·dec
     *,
     k: int,
     nprobe: int,
@@ -480,7 +513,7 @@ def fused_ivf_search_math(
             codes=codes, sorted_sq=sorted_sq, sorted_ids=sorted_ids,
             pq_cb=pq, k=k, window=window, metric=metric,
             recall_target=recall_target, rerank_depth=rerank_depth,
-            filt=filt, pq_w=pq_w, interpret=interpret,
+            filt=filt, pq_w=pq_w, interpret=interpret, shadow=pq_shadow,
         )
         rows_per_chunk = u_all.shape[1] * window
         # live bytes per chunk: gathered codes + gather indices + DECODED
@@ -493,21 +526,24 @@ def fused_ivf_search_math(
         outer = -(-steps // sb_max)
         sb = -(-steps // outer)
         pad_c = outer * sb - steps
+        qr_p = qp @ pq_r if pq_r is not None else qp
         qs = qp.reshape(steps, qc, d)
+        qrs = qr_p.reshape(steps, qc, d)
         if pad_c:
             def padc(a):
                 return jnp.concatenate(
                     [a, jnp.broadcast_to(a[-1:], (pad_c,) + a.shape[1:])]
                 )
-            qs, u_all, cd_u = padc(qs), padc(u_all), padc(cd_u)
+            qs, qrs, u_all, cd_u = padc(qs), padc(qrs), padc(u_all), padc(cd_u)
         qs = qs.reshape(outer, sb, qc, d)
+        qrs = qrs.reshape(outer, sb, qc, d)
         us = u_all.reshape(outer, sb, -1)
         cds = cd_u.reshape(outer, sb, qc, -1)
 
         def step_pq(_, xs):
-            return None, jax.vmap(body_pq)(xs[0], xs[1], xs[2])
+            return None, jax.vmap(body_pq)(xs[0], xs[1], xs[2], xs[3])
 
-        xs = (qs, us, cds)
+        xs = (qs, qrs, us, cds)
         if outer == 1:
             _, (v, i) = step_pq(None, jax.tree.map(lambda a: a[0], xs))
             v, i = v[None], i[None]
@@ -669,6 +705,8 @@ def fused_ivf_search(
     filt: Optional[jax.Array] = None,
     pq: Optional[jax.Array] = None,
     pq_w: Optional[jax.Array] = None,
+    pq_shadow: Optional[Tuple[jax.Array, ...]] = None,
+    pq_r: Optional[jax.Array] = None,
     *,
     k: int,
     nprobe: int,
@@ -746,7 +784,8 @@ def fused_ivf_search(
         interpret = backend == "pallas" and platform != "tpu"
     return _fused_jit(
         jnp.asarray(q, jnp.float32), centroids, cent_sq, codes, scales,
-        sorted_sq, sorted_ids, spill, shadow, filt, pq, pq_w,
+        sorted_sq, sorted_ids, spill, shadow, filt, pq, pq_w, pq_shadow,
+        pq_r,
         k=k, nprobe=nprobe, window=window, metric=metric,
         recall_target=recall_target, union_cap=union_cap, qc=qc,
         rerank_depth=rerank_depth, union_mode=union_mode,
