@@ -63,8 +63,16 @@ Q_BATCH = 1024
 # vs 128k (fewer approx_max_k invocations / merges; 1M single-chunk regresses)
 CHUNK = 524288
 REPS = 8
+MAX_REPS = 128  # honest-timing escalation ceiling (see timed())
 RECALL_QUERIES = 1024  # sigma(recall@10) ~ 1e-3 at p=0.99 — gate-decision grade
 NORTH_STAR_QPS = 1_000_000.0
+# Physical sanity bound for the roofline gate (docs/PERF.md checklist #5:
+# "a number above the roofline is a measurement bug, not a win"). Every
+# measured path is HBM-bound, so a generous upper bound on any current
+# chip's HBM bandwidth (v5e 819 GB/s, v5p 2765, v6e 1640) caps plausible
+# QPS; anything above it is a timing artifact and is excluded from the
+# winner pool.
+HBM_BYTES_PER_S_BOUND = 3.0e12
 
 
 def _scan_factory(variant: str):
@@ -147,7 +155,14 @@ def _scan_factory(variant: str):
 
 
 def main() -> None:
+    import os as _os
+
     import jax
+
+    if _os.environ.get("RFE_BENCH_CPU"):
+        # true CPU dev run: the axon env ignores JAX_PLATFORMS=cpu from the
+        # environment — force it before first backend use
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
@@ -203,24 +218,48 @@ def main() -> None:
 
     db_flat16 = db_c.reshape(n_db, DIM)
     db_sq = sq_c.reshape(-1)
-    def timed(fn, *args):
-        """Median-of-3 trivial-dispatch RTT, fastest-of-3 timed runs —
+    def timed(fn, qstack_in, *args):
+        """Median-of-3 trivial-dispatch RTT, fastest-of-5 timed runs —
         single-shot timing at <5 ms/batch is swamped by tunnel RTT jitter
-        (one sweep measured 0.0 ms for a 2.7 ms batch)."""
-        float(fn(*args))  # compile + warm
-        rtts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(trivial(sq_c))
-            rtts.append(time.perf_counter() - t0)
-        rtt = sorted(rtts)[1]
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(fn(*args))
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        return max((best - rtt) / REPS, 1e-9), rtt
+        (one sweep measured 0.0 ms for a 2.7 ms batch).
+
+        Honest-timing guard (docs/PERF.md checklist #5): if the whole timed
+        region is not comfortably larger than the tunnel RTT, the RTT
+        subtraction is pure noise — round 3 shipped a 1.024e12 QPS artifact
+        exactly this way (best <= rtt clamped to 1 ns). Instead of
+        clamping, ESCALATE: tile the query stack 4x (the jitted scan
+        specializes on the new leading dim) and re-time, until the region
+        is >2x RTT or MAX_REPS is reached. Returns
+        (per_batch_s, rtt_s, reps_used, resolved); unresolved timings are
+        excluded from the winner pool by the caller.
+        """
+        reps = int(qstack_in.shape[0])
+        stack = qstack_in
+        while True:
+            float(fn(stack, *args))  # compile + warm at this scan length
+            rtts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(trivial(sq_c))
+                rtts.append(time.perf_counter() - t0)
+            rtt = sorted(rtts)[1]
+            best = None
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(fn(stack, *args))
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            if best > 2.0 * rtt:
+                return (best - rtt) / reps, rtt, reps, True
+            if reps >= MAX_REPS:
+                # still RTT-dominated at the ceiling: report a LOWER BOUND
+                # on latency (never a fictitious upper bound) and mark it
+                per = max(best - rtt, 0.5 * rtt) / reps
+                return per, rtt, reps, False
+            new_reps = min(MAX_REPS, reps * 4)
+            stack = jnp.concatenate([stack] * ((new_reps + reps - 1) // reps),
+                                    axis=0)[:new_reps]
+            reps = new_reps
 
     variants = ("approx", "int8_rerank") if os.environ.get("RFE_BENCH_FAST") else (
         "approx", "int8_approx", "int8_rerank", "exact")
@@ -230,16 +269,23 @@ def main() -> None:
     for variant in variants:
         try:
             many, single = _scan_factory(variant)
+            quant_v = variant.startswith("int8")
             if variant.startswith("int8"):
                 args = (qstack32, db_i8_flat, db_scales, db_sq, db_flat16)
             else:
                 args = (qstack, db_flat16, db_sq)
             variant_args[variant] = args[1:]
-            per_batch, rtt = timed(many, *args)
+            per_batch, rtt, reps_used, resolved = timed(many, *args)
+            # bytes the path must pull from HBM per query batch (storage
+            # only — the roofline gate needs a floor, not an exact model)
+            bpb = n_db * DIM * (1 if quant_v else 2)
             results[variant] = {
                 "qps": Q_BATCH / per_batch,
                 "batch_ms": per_batch * 1e3,
                 "rtt_ms": rtt * 1e3,
+                "reps": reps_used,
+                "resolved": resolved,
+                "roofline_qps": HBM_BYTES_PER_S_BOUND / bpb * Q_BATCH,
             }
             singles[variant] = single
         except Exception as e:  # one broken variant must not kill the bench
@@ -326,7 +372,22 @@ def main() -> None:
             t0 = time.perf_counter()
             idx.build(db_c32.reshape(n_db, DIM))
             build_s = time.perf_counter() - t0
-            ivf_extras["index_build_vectors_per_s"] = round(n_db / build_s, 1)
+            # warm/cold pair (VERDICT r03 #5): the cold number is dominated
+            # by remote XLA compiles through the axon tunnel (~270 s of a
+            # 330 s 1M build in BUILD_r03); a rebuild at identical shapes
+            # reuses every compiled program and is what a long-lived
+            # service actually pays per re-index.
+            t0 = time.perf_counter()
+            idx2 = IVFFlatIndex(DIM, nlist=idx.nlist, dtype="bfloat16",
+                                train_iters=10, balance="reassign")
+            idx2.build(db_c32.reshape(n_db, DIM))
+            warm_s = time.perf_counter() - t0
+            del idx2
+            ivf_extras["index_build_vectors_per_s"] = round(n_db / warm_s, 1)
+            ivf_extras["index_build_vectors_per_s_cold"] = round(
+                n_db / build_s, 1)
+            ivf_extras["index_build_s"] = {"cold": round(build_s, 1),
+                                           "warm": round(warm_s, 1)}
             window = idx._window
             spill = idx._pending_dev() if idx._pending.ntotal else None
             fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
@@ -383,28 +444,47 @@ def main() -> None:
                     rec = hits / truth.size
                     many = make_ivf(nprobe, ucap, qc, backend)
                     args = fused_args + (spill if spill is not None else ())
-                    per, _ = timed(many, qstack32, *args)
+                    per, _, reps_used, resolved = timed(many, qstack32, *args)
                     qps = Q_BATCH / per
+                    # union-block reads per batch (codes + sq + ids), the
+                    # HBM floor of the fused path
+                    n_qc = -(-Q_BATCH // qc)
+                    bpb = n_qc * ucap * window * (DIM * 2 + 8)
+                    roof = HBM_BYTES_PER_S_BOUND / bpb * Q_BATCH
                     sweep[f"{backend}_np{nprobe}"] = {
                         "qps": round(qps, 1), "recall_at_10": round(rec, 4),
-                        "union_cap": ucap, "query_chunk": qc}
-                    if rec >= 0.99 and (best is None or qps > best[1]):
+                        "union_cap": ucap, "query_chunk": qc,
+                        "reps": reps_used, "resolved": resolved,
+                        "roofline_qps": round(roof, 1)}
+                    if (rec >= 0.99 and resolved and qps <= roof
+                            and (best is None or qps > best[1])):
                         best = (nprobe, qps, rec, backend)
             ivf_extras["ivf_sweep"] = sweep
             ivf_extras["ivf_window"] = window
             ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)
             if best is not None:
+                key = f"{best[3]}_np{best[0]}"
                 results["ivf"] = {"qps": best[1], "batch_ms": Q_BATCH / best[1] * 1e3,
-                                  "rtt_ms": 0.0}
+                                  "rtt_ms": 0.0, "resolved": True,
+                                  "roofline_qps": sweep[key]["roofline_qps"]}
                 recalls["ivf"] = best[2]
                 ivf_extras["ivf_best"] = {"nprobe": best[0],
                                           "backend": best[3]}
         except Exception as e:
             print(f"# ivf variant failed: {type(e).__name__}: {e}")
 
-    # winner: fastest path meeting the recall gate
-    eligible = {v: r for v, r in results.items() if recalls[v] >= 0.99}
-    pool = eligible or results
+    # winner: fastest path meeting the recall gate AND the honesty gates —
+    # the timing must be RTT-resolved and physically below the HBM roofline
+    # (docs/PERF.md checklist #5; round 3's 1.024e12 QPS artifact is what
+    # these gates exist to reject)
+    def _honest(r):
+        return r.get("resolved", True) and r["qps"] <= r.get(
+            "roofline_qps", float("inf"))
+
+    eligible = {v: r for v, r in results.items()
+                if recalls[v] >= 0.99 and _honest(r)}
+    pool = eligible or {v: r for v, r in results.items() if _honest(r)}
+    pool = pool or results
     winner = max(pool, key=lambda v: pool[v]["qps"])
     win = results[winner]
 
@@ -418,9 +498,14 @@ def main() -> None:
         "batch_latency_ms": round(win["batch_ms"], 3),
         "q_batch": Q_BATCH,
         "n_db": n_db,
+        "timing_resolved": bool(win.get("resolved", True)),
+        "timing_reps": win.get("reps"),
         "all_paths": {
             v: {"qps": round(r["qps"], 1),
-                "recall_at_10": round(recalls[v], 4)}
+                "recall_at_10": round(recalls[v], 4),
+                "resolved": bool(r.get("resolved", True)),
+                "roofline_qps": round(r["roofline_qps"], 1)
+                if r.get("roofline_qps") is not None else None}
             for v, r in results.items()
         },
         "platform": platform,

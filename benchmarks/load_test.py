@@ -19,7 +19,10 @@ from typing import List, Optional
 
 
 async def _drive(post, queries: List[str], concurrency: int, total: int,
-                 warmup: int = 0):
+                 warmup: int = 0, filter_every: int = 0):
+    """filter_every=N routes every Nth request with a metadata filter
+    (0 = never) — filtered queries bypass the coalescer (per-request
+    masks), so the mix exercises both serving paths."""
     if warmup:
         # Steady-state protocol: the batcher coalesces 1..max_batch queries
         # and each embed/scan bucket JIT-compiles on first sight (10-60 s
@@ -39,8 +42,9 @@ async def _drive(post, queries: List[str], concurrency: int, total: int,
 
     async def one(i: int):
         async with sem:
+            filtered = filter_every and i % filter_every == 0
             t0 = time.perf_counter()
-            await post(queries[i % len(queries)])
+            await post(queries[i % len(queries)], filtered=filtered)
             latencies.append(time.perf_counter() - t0)
 
     await asyncio.gather(*[one(i) for i in range(total)])
@@ -58,7 +62,8 @@ async def _drive(post, queries: List[str], concurrency: int, total: int,
 
 
 async def run_inprocess(small: bool, concurrency: int, total: int,
-                        warmup: int = 0) -> dict:
+                        warmup: int = 0, generate: bool = False,
+                        filter_every: int = 0) -> dict:
     from aiohttp.test_utils import TestClient, TestServer
 
     from rag_faiss_embedding_tpu.core import Config
@@ -108,15 +113,22 @@ async def run_inprocess(small: bool, concurrency: int, total: int,
     try:
         queries = [f"topic {i} content" for i in range(29)]
 
-        async def post(text):
-            resp = await client.post(
-                "/search", json={"text": text, "top_k": 3, "generate": False}
-            )
+        async def post(text, filtered=False):
+            body = {"text": text, "top_k": 3, "generate": generate}
+            if filtered:
+                body["filter"] = {"url_prefix": "https://x/1"}
+            resp = await client.post("/search", json=body)
             assert resp.status == 200, await resp.text()
-            return await resp.json()
+            out = await resp.json()
+            if generate:
+                assert "generated_response" in out, out
+            return out
 
         await post(queries[0])  # warm compile
-        return await _drive(post, queries, concurrency, total, warmup=warmup)
+        if filter_every:
+            await post(queries[0], filtered=True)
+        return await _drive(post, queries, concurrency, total, warmup=warmup,
+                            filter_every=filter_every)
     finally:
         await client.close()
         db.close()
@@ -128,21 +140,24 @@ async def run_inprocess(small: bool, concurrency: int, total: int,
 
 
 async def run_remote(url: str, concurrency: int, total: int,
-                     warmup: int = 0) -> dict:
+                     warmup: int = 0, generate: bool = False,
+                     filter_every: int = 0) -> dict:
     import aiohttp
 
     async with aiohttp.ClientSession() as session:
         queries = [f"topic {i} content" for i in range(29)]
 
-        async def post(text):
-            async with session.post(
-                url, json={"text": text, "top_k": 3, "generate": False}
-            ) as resp:
+        async def post(text, filtered=False):
+            body = {"text": text, "top_k": 3, "generate": generate}
+            if filtered:
+                body["filter"] = {"url_prefix": "https://x/1"}
+            async with session.post(url, json=body) as resp:
                 assert resp.status == 200
                 return await resp.json()
 
         await post(queries[0])
-        return await _drive(post, queries, concurrency, total, warmup=warmup)
+        return await _drive(post, queries, concurrency, total, warmup=warmup,
+                            filter_every=filter_every)
 
 
 def main() -> None:
@@ -153,13 +168,28 @@ def main() -> None:
     parser.add_argument("--requests", type=int, default=300)
     parser.add_argument("--warmup", type=int, default=0,
                         help="untimed full-concurrency requests first")
+    parser.add_argument("--generate", action="store_true",
+                        help="full RAG path: FLAN-T5/extractive generation "
+                             "in every response (the reference contract — "
+                             "4-api-rag-search.py renders generated_response)")
+    parser.add_argument("--filter-every", type=int, default=0,
+                        help="every Nth request carries a metadata filter")
     args = parser.parse_args()
+    if args.small and not args.url:
+        # true CPU smoke: the axon env ignores JAX_PLATFORMS=cpu from the
+        # environment — force it before first backend use
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.url:
-        result = asyncio.run(run_remote(args.url, args.concurrency,
-                                        args.requests, warmup=args.warmup))
+        result = asyncio.run(run_remote(
+            args.url, args.concurrency, args.requests, warmup=args.warmup,
+            generate=args.generate, filter_every=args.filter_every))
     else:
-        result = asyncio.run(run_inprocess(args.small, args.concurrency,
-                                           args.requests, warmup=args.warmup))
+        result = asyncio.run(run_inprocess(
+            args.small, args.concurrency, args.requests, warmup=args.warmup,
+            generate=args.generate, filter_every=args.filter_every))
+    result["generate"] = args.generate
+    result["filter_every"] = args.filter_every
     result["metric"] = "serve_search_qps"
     result["value"] = result["qps"]
     result["unit"] = "qps"

@@ -1,4 +1,4 @@
-"""10M-rows-on-one-chip scale benchmark (IVF-PQ memory tier).
+"""10M-rows-on-one-chip scale benchmark (IVF-PQ memory tier + refine).
 
 BASELINE.md's large-corpus budgets are unreachable for dense storage on a
 single v5e: 10M x 384 is 15 GB fp32 / 7.7 GB bf16 before any working set.
@@ -6,6 +6,13 @@ The IVF-PQ tier holds the SAME corpus in ~0.6 GB (M=48 residual codes +
 f32 reconstruction norms + int32 ids), built out-of-HBM by
 ``IVFFlatIndex.build_chunked`` — the corpus is consumed in chunks and
 never materialized on device.
+
+Round 4 adds the REFINE tier (FAISS IndexRefine analog): a bf16 shadow of
+the rows (+8 GB at 10M — still fits) re-scores the top ADC candidates with
+self-consistent norms, recovering the recall@10 the 48-byte code alone
+cannot rank (r03 measured 0.32 codec-bound; coverage was fine — recall@1
+0.97). The nprobe sweep also exercises the union-segmentation fix for the
+r03 cliff (qc collapsed 256 -> 8 at nprobe>=32, a 50x QPS hit).
 
 Honesty protocol (docs/PERF.md): >=1024 queries timed through the SHIPPED
 ``IVFFlatIndex.search`` at the same parameters recall is measured at;
@@ -37,7 +44,10 @@ def main() -> None:
                         help="CPU-scale smoke")
     parser.add_argument("--rows-m", type=int, default=10,
                         help="corpus size in Mi rows (TPU runs)")
-    parser.add_argument("--out", default="SCALE_r03.json")
+    parser.add_argument("--out", default="SCALE_r04.json")
+    parser.add_argument("--no-refine", action="store_true",
+                        help="codes-only tier (r03 config)")
+    parser.add_argument("--rerank-depth", type=int, default=128)
     args = parser.parse_args()
 
     import jax
@@ -87,8 +97,11 @@ def main() -> None:
 
     # ---- build (out-of-HBM, chunk-streamed)
     t0 = time.perf_counter()
+    refine = not args.no_refine
     idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, pq_m=M_PQ,
-                       train_iters=10)
+                       train_iters=10, rerank=refine,
+                       refine_dtype="bfloat16",
+                       rerank_depth=args.rerank_depth)
     if n > 32 * (1 << 20):
         idx.train_sample_per_list = 32  # bound Lloyd cost at 100M scale
     idx.build_chunked(source, n=n, chunk_size=chunk)
@@ -96,6 +109,7 @@ def main() -> None:
     hbm_bytes = int(
         idx._sorted_vecs.size * 1 + idx._sorted_sq.size * 4
         + idx._sorted_ids.size * 4
+        + (idx._sorted_shadow.size * 2 if refine else 0)
     )
     print(f"# built {n} rows in {build_s:.1f}s; resident "
           f"{hbm_bytes / 1e9:.2f} GB ({idx._sorted_vecs.shape[1]} B codes, "
@@ -123,6 +137,8 @@ def main() -> None:
     float(trivial(queries))
 
     def timed(fn):
+        """Honest-timing guard (bench.py protocol): escalate reps until the
+        timed region is >2x the tunnel RTT; never clamp to a fiction."""
         jax.block_until_ready(fn())  # compile + warm
         rtts = []
         for _ in range(3):
@@ -130,18 +146,22 @@ def main() -> None:
             float(trivial(queries))
             rtts.append(time.perf_counter() - t0)
         rtt = sorted(rtts)[1]
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn()
-            jax.block_until_ready(out)
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        return max((best - rtt) / reps, 1e-9)
+        r = reps
+        while True:
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(r):
+                    out = fn()
+                jax.block_until_ready(out)
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            if best > 2.0 * rtt or r >= 64:
+                return max(best - rtt, 0.5 * rtt) / r
+            r *= 4
 
     results = {}
-    for nprobe in (8, 16, 32):
+    for nprobe in (8, 16, 32, 64):
         if nprobe > nlist:
             continue
         per_batch = timed(lambda: idx.search(queries, 10, nprobe=nprobe))
@@ -154,11 +174,17 @@ def main() -> None:
         # codec-bound (ranks 2..10 are near-equidistant mode-mates — the
         # hardest case for any lossy code, FAISS IVFPQ behaves the same)
         r1 = float((pred[:, 0] == truth[:, 0]).mean())
+        from rag_faiss_embedding_tpu.ops.ivf_scan import (
+            _pq_union_segments, default_union_cap)
+        ucap = default_union_cap(nlist, nprobe)
+        qc = max(16, min(256, ucap))
         results[f"nprobe{nprobe}"] = {
             "qps": q_batch / per_batch,
             "batch_ms": per_batch * 1e3,
             "recall_at_10": recall,
             "recall_at_1": r1,
+            "union_cap": ucap, "qc": qc,
+            "useg": _pq_union_segments(ucap, idx._window, M_PQ, DIM, qc),
         }
         print(json.dumps({
             "metric": "ivfpq_scale_qps", "nprobe": nprobe,
@@ -176,10 +202,12 @@ def main() -> None:
         "hbm_resident_bytes": hbm_bytes,
         "window": idx._window, "spill_rows": idx._n_spill,
         "queries": q_batch, "results": results,
+        "refine": ({"dtype": "bfloat16", "rerank_depth": args.rerank_depth}
+                   if refine else None),
         "note": "IVF-PQ residual codes, out-of-HBM chunked build; corpus "
                 "regenerated deterministically per chunk (never stored). "
-                "Dense bf16 storage of this corpus would need "
-                f"{n * DIM * 2 / 1e9:.1f} GB.",
+                "Dense f32 storage of this corpus would need "
+                f"{n * DIM * 4 / 1e9:.1f} GB.",
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -1,12 +1,14 @@
 """Interactive CLI search REPL.
 
-Capability parity with ``2-cli-rag-search.py``: rich results table
-(Doc# / Title / Similarity / 200-char content preview), similarity displayed
-as ``1/(1+distance)`` (``2-cli-rag-search.py:48``), numeric drill-down into a
-detail panel, progress spinner, ``exit`` to quit.
+Capability parity with ``2-cli-rag-search.py``: a results table
+(doc number / title / similarity / content preview), similarity displayed
+as ``1/(1+distance)`` (``2-cli-rag-search.py:48``), numeric drill-down into
+a per-document detail view, a busy indicator while the query runs, and
+``exit`` to quit. Presentation (layout, styling, prompts) is this repo's
+own; only the column semantics and the score convention are parity.
 
-Also usable non-interactively (queries on stdin), which the reference's
-``console.input`` loop happens to support too.
+Also usable non-interactively (queries on stdin or argv), which suits
+scripted smoke tests.
 """
 
 from __future__ import annotations
@@ -20,6 +22,13 @@ from ..core.logging import get_logger
 from ..rag.manager import RAGManager
 
 logger = get_logger(__name__)
+
+PREVIEW_CHARS = 200
+
+
+def _preview(text: str, limit: int = PREVIEW_CHARS) -> str:
+    text = text or ""
+    return text if len(text) <= limit else text[: limit - 1] + "…"
 
 
 class CLISearch:
@@ -36,54 +45,49 @@ class CLISearch:
         return 1.0 / (1.0 + doc.get("distance", 0.0))
 
     def print_results(self, results: List[dict], interactive: bool = True) -> None:
-        from rich.panel import Panel
+        from rich import box
         from rich.table import Table
 
         if not results:
-            self.console.print(
-                Panel("No documents found.", title="Search Results", style="yellow")
-            )
+            self.console.print("[yellow]no matches — try different terms[/]")
             return
-        table = Table(title="Search Results", show_header=True,
-                      header_style="bold magenta")
-        table.add_column("Doc #", style="dim", width=6)
-        table.add_column("Title", style="cyan")
-        table.add_column("Similarity", justify="right", style="green")
-        table.add_column("Content Preview", style="white")
+        table = Table(title=f"top {len(results)} matches",
+                      box=box.SIMPLE_HEAVY, header_style="bold")
+        table.add_column("#", justify="right")
+        table.add_column("Title", style="bright_blue", no_wrap=False)
+        table.add_column("Similarity", justify="right")
+        table.add_column("Preview")
         for i, doc in enumerate(results, 1):
-            content = doc.get("content", "N/A")
-            preview = content[:200] + "..." if len(content) > 200 else content
-            table.add_row(str(i), doc.get("title", "N/A"),
-                          f"{self.similarity(doc):.3f}", preview)
+            sim = self.similarity(doc)
+            table.add_row(str(i), doc.get("title") or "(untitled)",
+                          f"{sim:.3f}",
+                          _preview(doc.get("content", "")))
         self.console.print(table)
         if not interactive:
             return
         self.console.print(
-            "\nFor detailed view of a document, enter its number "
-            "(or press Enter to continue)"
+            f"[dim]open a result? type 1-{len(results)}, blank to skip[/]"
         )
         try:
-            choice = input("> ").strip()
+            choice = input("open> ").strip()
         except EOFError:
             return
         if choice.isdigit() and 1 <= int(choice) <= len(results):
             self.show_detailed_view(results[int(choice) - 1])
 
     def show_detailed_view(self, doc: dict) -> None:
+        from rich import box
         from rich.panel import Panel
-        from rich.text import Text
+        from rich.table import Table
 
-        self.console.print("\n")
-        self.console.print(Panel(
-            Text.from_markup(
-                f"[bold cyan]Title:[/] {doc.get('title', 'N/A')}\n"
-                f"[bold cyan]URL:[/] {doc.get('url', 'N/A')}\n"
-                f"[bold cyan]Similarity Score:[/] {self.similarity(doc):.3f}\n"
-                f"\n[bold cyan]Content:[/]\n{doc.get('content', 'N/A')}"
-            ),
-            title="Document Details",
-            expand=False,
-        ))
+        meta = Table.grid(padding=(0, 1))
+        meta.add_column(style="bold", justify="right")
+        meta.add_column()
+        meta.add_row("title", doc.get("title") or "(untitled)")
+        meta.add_row("url", doc.get("url") or "-")
+        meta.add_row("similarity", f"{self.similarity(doc):.3f}")
+        self.console.print(Panel(meta, box=box.ROUNDED, title="result"))
+        self.console.print(doc.get("content") or "(no content)")
 
     def search(self, query: str, k: Optional[int] = None) -> List[dict]:
         try:
@@ -93,30 +97,24 @@ class CLISearch:
             return []
 
     def search_loop(self, interactive: bool = True) -> None:
-        from rich.panel import Panel
-
-        self.console.print(Panel(
-            "[bold]Welcome to RAG CLI Search[/]\n"
-            "Enter your search queries below, or type 'exit' to quit",
-            style="bold blue",
-        ))
+        self.console.print(
+            "[bold]rag-faiss-embedding-tpu search[/] — "
+            "type a query, or 'exit' when done"
+        )
         while True:
             try:
                 if interactive:
-                    query = self.console.input(
-                        "\n[bold yellow]Enter search query:[/] "
-                    )
+                    query = self.console.input("\n[bold]query>[/] ")
                 else:
                     query = input()
             except (EOFError, KeyboardInterrupt):
                 break
             if query.strip().lower() == "exit":
-                self.console.print("\n[bold green]Goodbye![/]")
                 break
             if not query.strip():
                 continue
             if interactive:
-                with self.console.status("[green]Searching..."):
+                with self.console.status("running query on device"):
                     results = self.search(query)
             else:
                 results = self.search(query)

@@ -298,7 +298,7 @@ class IVFFlatIndex:
         # M B/row codes (3.9 GB at 10M x 384 — still 2x under dense bf16)
         # and restores int8-tier recall. OFF by default: pure PQ remains
         # the max-capacity tier.
-        if refine_dtype not in ("int8", "bfloat16"):
+        if refine_dtype not in ("int8", "bfloat16", "float32"):
             raise ValueError(f"bad refine_dtype {refine_dtype!r}")
         self.refine_dtype = refine_dtype
         # ADC candidate ranking needs a deeper rerank pool than the int8
@@ -473,12 +473,15 @@ class IVFFlatIndex:
         self, rows_f32: jax.Array, exact_sq: jax.Array
     ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array]:
         """Shadow rows for the PQ refine stage: int8 codes + per-row scales
-        (``refine_dtype='int8'``) or bf16 rows; exact pre-quantization
-        norms ride along (the int8 tier's scoring convention — exact
-        ||x||², quantized cross term)."""
+        (``refine_dtype='int8'``), bf16, or f32 rows. Exact
+        pre-quantization norms ride along for persistence/debug, but the
+        rerank scores with the dequantized row's OWN norm (self-consistent
+        geometry — see ops/ivf_scan._chunk_body_pq)."""
         if self.refine_dtype == "int8":
             codes, scales = quantize_rows(rows_f32)
             return codes, scales, exact_sq
+        if self.refine_dtype == "float32":
+            return rows_f32, None, exact_sq
         return rows_f32.astype(jnp.bfloat16), None, exact_sq
 
     def _pq_shadow(self) -> Optional[Tuple[jax.Array, ...]]:
@@ -861,7 +864,8 @@ class IVFFlatIndex:
         )
         padded_shadow = padded_sh_scales = padded_sh_sq = None
         if self.pq_m and self.rerank:
-            sh_dt = jnp.int8 if self.refine_dtype == "int8" else jnp.bfloat16
+            sh_dt = {"int8": jnp.int8, "float32": jnp.float32}.get(
+                self.refine_dtype, jnp.bfloat16)
             padded_shadow = jax.device_put(
                 jnp.zeros((n_slots, self.dim), sh_dt), dev
             )
@@ -1529,6 +1533,14 @@ class IVFFlatIndex:
                 codes, sq, ids = codes[sel], sq[sel], ids[sel]
                 if scales is not None:
                     scales = scales[sel]
+                # shadow arrays are row-parallel with codes; skipping the
+                # selector would silently misalign rerank scores
+                if shadow is not None:
+                    shadow = shadow[sel]
+                if shadow_scales is not None:
+                    shadow_scales = shadow_scales[sel]
+                if shadow_sq is not None:
+                    shadow_sq = shadow_sq[sel]
             idx._install_blocks(codes, sq, ids, scales, lengths_np,
                                 shadow=shadow, shadow_scales=shadow_scales,
                                 shadow_sq=shadow_sq)

@@ -117,6 +117,21 @@ def pick_query_chunk(
     return max(8, min(qc, max(8, n_queries)))
 
 
+def _pq_union_segments(u_n: int, window: int, m_bytes: int, d: int,
+                       qc: int) -> int:
+    """Number of segments the PQ chunk stage streams its union in, so the
+    per-step live bytes (gathered codes + ids/norms + DECODED dense rows +
+    the score matrix) stay under ``_STEP_BYTES_BUDGET``. Segmenting —
+    instead of shrinking qc — is what keeps large-nprobe searches off the
+    round-3 cliff (SCALE_r03: qc collapsed 256 -> 8 at nprobe>=32 on the
+    10M config, a 50x QPS hit)."""
+    bytes_per_list = window * (m_bytes + 8 + 4 * d + 4 * qc)
+    useg = max(1, -(-int(u_n) * bytes_per_list // _STEP_BYTES_BUDGET))
+    if useg > 1:
+        useg = -(-u_n // (-(-u_n // useg)))  # round to equal segments
+    return int(useg)
+
+
 def _select_union(probes: jax.Array, nlist: int, union_cap: int) -> jax.Array:
     """Compact a chunk's (qc, nprobe) probe lists to ``union_cap`` unique
     list ids ranked by min probe rank; unused slots -> sentinel ``nlist``.
@@ -224,7 +239,11 @@ def _chunk_body(
         dots = jnp.einsum(
             "qd,qkd->qk", q, srows, preferred_element_type=jnp.float32
         )
-        sc = 2.0 * dots - rsq[pos] if metric == "L2" else dots
+        # self-consistent norms (|x̂|², not the exact stored norm): see
+        # ops/quantize.int8_rerank_search — the mixed form's 2·q·(x−x̂)
+        # error scales with ‖q‖ and scrambles near-tied neighbors
+        ssq = jnp.sum(srows * srows, axis=-1)
+        sc = 2.0 * dots - ssq if metric == "L2" else dots
         # re-mask: with fewer than k_cand live candidates the PartialReduce
         # pads from masked slots, and the exact re-score would RESURRECT a
         # filtered/tombstoned row
@@ -254,6 +273,7 @@ def _chunk_body_pq(
     pq_w: Optional[jax.Array] = None,   # grouped codebook -> Pallas decode
     interpret: bool = False,
     shadow: Optional[Tuple[jax.Array, ...]] = None,
+    useg: int = 1,                      # union segments (memory bound)
 ) -> Tuple[jax.Array, jax.Array]:
     """PQ-storage chunk stage: the union block gather moves M BYTES per row
     (the whole point of the tier), codes decode to dense rows against the
@@ -277,38 +297,93 @@ def _chunk_body_pq(
     from .pq import _decode_bf16
 
     m = codes.shape[1]
-    rows = codes.reshape(-1, window, m)[u].reshape(-1, m)
-    rid = sorted_ids.reshape(-1, window)[u].reshape(-1)
-    rsq = sorted_sq.reshape(-1, window)[u].reshape(-1)
-    if pq_w is not None:
-        from .pallas_pq import decode as pq_decode_pallas
+    qc_n = q.shape[0]
+    u_count = u.shape[0]
+    codes3 = codes.reshape(-1, window, m)
+    ids2 = sorted_ids.reshape(-1, window)
+    sq2 = sorted_sq.reshape(-1, window)
+    sent = codes3.shape[0] - 1          # sentinel list id (rows carry -1)
 
-        dec = pq_decode_pallas(
-            tuple(pq_cb.shape), rows, w=pq_w, interpret=interpret
-        )                                              # (U*window, D) bf16
+    def seg_scores(u_s, cdu_s):
+        """ADC-score one union segment: (S,) sorted list ids + (qc, S)
+        coarse dots -> ((qc, S*window) scores, row ids, global slots)."""
+        rows = codes3[u_s].reshape(-1, m)
+        rid = ids2[u_s].reshape(-1)
+        rsq = sq2[u_s].reshape(-1)
+        if pq_w is not None:
+            from .pallas_pq import decode as pq_decode_pallas
+
+            dec = pq_decode_pallas(
+                tuple(pq_cb.shape), rows, w=pq_w, interpret=interpret
+            )                                          # (S*window, D) bf16
+        else:
+            dec = _decode_bf16(pq_cb, rows)            # (S*window, D)
+        qs = qr.astype(dec.dtype)
+        dots_r = jnp.dot(qs, dec.T, preferred_element_type=jnp.float32,
+                         precision=_matmul_precision(qs))
+        dots = jnp.repeat(cdu_s, window, axis=1) + dots_r
+        scores = 2.0 * dots - rsq[None, :] if metric == "L2" else dots
+        scores = jnp.where(_live_rows(rid, filt)[None, :], scores, NEG_INF)
+        slots = (u_s[:, None].astype(jnp.int32) * window
+                 + jnp.arange(window, dtype=jnp.int32)[None, :]).reshape(-1)
+        return scores, rid, slots
+
+    k_cand = min(max(k, rerank_depth), u_count * window)
+    if useg <= 1:
+        scores, rid, slots = seg_scores(u, cdu)
+        best_v, pos = lax.approx_max_k(scores, k_cand,
+                                       recall_target=recall_target)
+        pos = pos.astype(jnp.int32)
+        best_i = rid[pos]
+        best_slot = slots[pos]
     else:
-        dec = _decode_bf16(pq_cb, rows)                # (U*window, D)
-    qs = qr.astype(dec.dtype)
-    dots_r = jnp.dot(qs, dec.T, preferred_element_type=jnp.float32,
-                     precision=_matmul_precision(qs))
-    dots = jnp.repeat(cdu, window, axis=1) + dots_r    # (qc, U*window)
-    scores = 2.0 * dots - rsq[None, :] if metric == "L2" else dots
-    scores = jnp.where(_live_rows(rid, filt)[None, :], scores, NEG_INF)
-    k_cand = min(max(k, rerank_depth), scores.shape[1])
-    best_v, pos = lax.approx_max_k(scores, k_cand,
-                                   recall_target=recall_target)
-    pos = pos.astype(jnp.int32)
-    best_i = rid[pos]
+        # Union segmentation: at large nprobe x window the decoded dense
+        # rows (U*window*D*4 B) alone can bust the step budget — round 3's
+        # 10M config collapsed qc to 8 instead and paid a 50x QPS cliff at
+        # nprobe>=32 (SCALE_r03). Stream the union in `useg` segments with
+        # a running top-k_cand merge: per-step memory is bounded by the
+        # SEGMENT, qc stays at its recall-optimal size, and each union row
+        # is still decoded exactly once.
+        seg = -(-u_count // useg)
+        pad = useg * seg - u_count
+        u_p = jnp.concatenate(
+            [u, jnp.full((pad,), sent, u.dtype)]) if pad else u
+        cdu_p = jnp.concatenate(
+            [cdu, jnp.zeros((qc_n, pad), cdu.dtype)], axis=1) if pad else cdu
+        u_segs = u_p.reshape(useg, seg)
+        cdu_segs = jnp.moveaxis(cdu_p.reshape(qc_n, useg, seg), 1, 0)
+        kc_seg = min(k_cand, seg * window)
+
+        def body(carry, xs):
+            bv, bs = carry
+            scores, _, slots = seg_scores(*xs)
+            v_s, pos = lax.approx_max_k(scores, kc_seg,
+                                        recall_target=recall_target)
+            s_s = slots[pos.astype(jnp.int32)]
+            allv = jnp.concatenate([bv, v_s], axis=1)
+            alls = jnp.concatenate([bs, s_s], axis=1)
+            bv, sel = lax.top_k(allv, k_cand)
+            return (bv, jnp.take_along_axis(alls, sel, axis=1)), None
+
+        init = (jnp.full((qc_n, k_cand), NEG_INF, jnp.float32),
+                jnp.zeros((qc_n, k_cand), jnp.int32))
+        (best_v, best_slot), _ = lax.scan(body, init, (u_segs, cdu_segs))
+        best_i = jnp.where(best_v > NEG_INF, sorted_ids[best_slot], -1)
     if shadow is not None:
         s_codes, s_scales, s_sq = shadow
-        slot = u[pos // window] * window + pos % window      # (qc, k_cand)
+        slot = best_slot                                     # (qc, k_cand)
         srows = s_codes[slot].astype(jnp.float32)            # (qc, kc, D)
         if s_scales is not None:
             srows = srows * s_scales[slot][..., None]
         dots = jnp.einsum(
             "qd,qkd->qk", q, srows, preferred_element_type=jnp.float32
         )
-        sc = 2.0 * dots - s_sq[slot] if metric == "L2" else dots
+        # self-consistent norms (|x̂|² of the dequantized shadow row, NOT
+        # the exact stored s_sq): the mixed form's 2·q·(x−x̂) error scales
+        # with ‖q‖ and scrambles near-tied neighbors — measured recall@10
+        # 0.60 → 0.93 (int8) / 0.98 (bf16) on clustered near-ties
+        ssq = jnp.sum(srows * srows, axis=-1)
+        sc = 2.0 * dots - ssq if metric == "L2" else dots
         # re-mask: the PartialReduce pads from masked slots when fewer
         # than k_cand candidates are live, and the exact re-score would
         # RESURRECT a filtered/tombstoned row (same as _chunk_body)
@@ -352,6 +427,8 @@ def fused_ivf_search_math(
     backend: str = "xla",
     pallas_cap: int = 2,
     interpret: bool = False,
+    useg: Optional[int] = None,  # PQ union segments (None = auto from the
+    #                              step budget; see _pq_union_segments)
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole-batch fused search; one dispatch. Returns (values, ids) on the
     FINAL scale (L2: squared distance ascending; IP: score descending).
@@ -508,14 +585,20 @@ def fused_ivf_search_math(
             jnp.minimum(u_all, nlist - 1)[:, None, :],
             axis=2,
         )                                              # (steps, qc, U)
+        # union segmentation (see _chunk_body_pq): bound per-step live
+        # bytes by streaming the union in segments instead of shrinking qc
+        if useg is None:
+            useg = _pq_union_segments(u_all.shape[1], window,
+                                      codes.shape[1], d, qc)
         body_pq = functools.partial(
             _chunk_body_pq,
             codes=codes, sorted_sq=sorted_sq, sorted_ids=sorted_ids,
             pq_cb=pq, k=k, window=window, metric=metric,
             recall_target=recall_target, rerank_depth=rerank_depth,
             filt=filt, pq_w=pq_w, interpret=interpret, shadow=pq_shadow,
+            useg=useg,
         )
-        rows_per_chunk = u_all.shape[1] * window
+        rows_per_chunk = -(-u_all.shape[1] // useg) * window  # per segment
         # live bytes per chunk: gathered codes + gather indices + DECODED
         # dense rows (with headroom for XLA's fusion copies of the decode)
         # + the score matrix
@@ -687,7 +770,7 @@ _fused_jit = functools.partial(
     static_argnames=(
         "k", "nprobe", "window", "metric", "recall_target", "union_cap",
         "qc", "rerank_depth", "union_mode", "backend", "pallas_cap",
-        "interpret",
+        "interpret", "useg",
     ),
 )(fused_ivf_search_math)
 
@@ -737,13 +820,17 @@ def fused_ivf_search(
     if union_cap is None:
         union_cap = default_union_cap(nlist, nprobe)
     if qc is None:
-        # PQ rows decode to dense inside the chunk stage: budget them as
-        # f32-equivalent rows, not 1-byte codes
-        code_bytes = 4 if pq is not None else jnp.dtype(codes.dtype).itemsize
-        qc = pick_query_chunk(
-            nprobe, window, dim, code_bytes, nq,
-            union_cap=union_cap,
-        )
+        if pq is not None:
+            # the PQ chunk stage segments its union internally (useg), so
+            # per-step memory is bounded regardless of qc — qc is set by
+            # the recall constraint alone (qc <= union_cap, cap 256; see
+            # pick_query_chunk's rationale)
+            qc = max(16, min(256, union_cap))
+        else:
+            qc = pick_query_chunk(
+                nprobe, window, dim, jnp.dtype(codes.dtype).itemsize, nq,
+                union_cap=union_cap,
+            )
     qc = min(qc, max(8, nq))
     interpret = False
     if pq_w is not None:
@@ -782,6 +869,10 @@ def fused_ivf_search(
             )
         backend = "pallas" if eligible else "xla"
         interpret = backend == "pallas" and platform != "tpu"
+    # PQ union segmentation is part of the jit cache key (computed here,
+    # outside the trace, so a changed step budget re-specializes)
+    useg = _pq_union_segments(union_cap, window, codes.shape[1], dim,
+                              qc) if pq is not None else None
     return _fused_jit(
         jnp.asarray(q, jnp.float32), centroids, cent_sq, codes, scales,
         sorted_sq, sorted_ids, spill, shadow, filt, pq, pq_w, pq_shadow,
@@ -790,4 +881,5 @@ def fused_ivf_search(
         recall_target=recall_target, union_cap=union_cap, qc=qc,
         rerank_depth=rerank_depth, union_mode=union_mode,
         backend=backend, pallas_cap=pallas_cap, interpret=interpret,
+        useg=useg,
     )

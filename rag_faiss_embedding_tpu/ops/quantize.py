@@ -236,7 +236,15 @@ def int8_rerank_search(
             db_i8[safe_ids].astype(jnp.float32)
             * db_scale[safe_ids][..., None]
         )
-    cand_sq = db_sq[safe_ids]                              # (Q, C)
+    # self-consistent norms: L2-score with the candidate row's OWN norm
+    # |x̂|², not the exact stored ‖x‖². Mixing exact norms with quantized
+    # dots leaves a 2·q·(x−x̂) error (∝ ‖q‖) on every candidate — larger
+    # than the gaps between near-tied neighbors, which is exactly what the
+    # rerank exists to resolve. With |x̂|² the ranking error is
+    # 2·(q−x)·(x−x̂) (∝ the neighbor distance): measured recall@10 on
+    # near-tied clusters 0.60 → 0.93 (int8) / 0.98 (bf16)
+    # (tests/test_pq.py::test_ivfpq_refine_beats_pure_adc).
+    cand_sq = jnp.sum(cand_rows * cand_rows, axis=-1)      # (Q, C) |x̂|²
     qf = q.astype(jnp.float32)
     dots = jnp.einsum(
         "qd,qcd->qc", qf, cand_rows, preferred_element_type=jnp.float32

@@ -1,10 +1,12 @@
 """Interactive API client REPL.
 
 Capability parity with ``4-api-rag-search.py``: POSTs
-``{"text": query, "top_k": 3}`` to ``/search`` (``:91-94``), renders the
-``similar_documents`` table with Score column and 200-char previews plus the
-``generated_response`` panel (``:96-107``), numeric drill-down detail view,
-connection-error handling, ``exit`` to quit.
+``{"text": query, "top_k": k}`` to ``/search`` (``:91-94``), renders the
+``similar_documents`` hits (title / score / content preview) and the
+``generated_response`` text (``:96-107``), numeric drill-down detail view,
+connection-error handling, ``exit`` to quit. Presentation (layout, styling,
+prompts) is this repo's own; only the request/response contract and column
+semantics are parity.
 """
 
 from __future__ import annotations
@@ -18,6 +20,13 @@ from ..core.logging import get_logger
 
 logger = get_logger(__name__)
 
+PREVIEW_CHARS = 200
+
+
+def _preview(text: str, limit: int = PREVIEW_CHARS) -> str:
+    text = text or ""
+    return text if len(text) <= limit else text[: limit - 1] + "…"
+
 
 class APISearch:
     def __init__(self, api_url: str = "http://localhost:8000/search",
@@ -29,58 +38,51 @@ class APISearch:
         self.console = Console()
 
     def print_results(self, results: List[dict], interactive: bool = True) -> None:
-        from rich.panel import Panel
+        from rich import box
         from rich.table import Table
 
         if not results:
-            self.console.print(
-                Panel("No documents found.", title="Search Results", style="yellow")
-            )
+            self.console.print("[yellow]server returned no matches[/]")
             return
-        table = Table(title="Search Results", show_header=True,
-                      header_style="bold magenta")
-        table.add_column("Doc #", style="dim", width=6)
-        table.add_column("Title", style="cyan")
-        table.add_column("Score", justify="right", style="green")
-        table.add_column("Content Preview", style="white")
+        table = Table(title=f"top {len(results)} matches",
+                      box=box.SIMPLE_HEAVY, header_style="bold")
+        table.add_column("#", justify="right")
+        table.add_column("Title", style="bright_blue", no_wrap=False)
+        table.add_column("Score", justify="right")
+        table.add_column("Preview")
         for i, doc in enumerate(results, 1):
-            content = doc.get("content", "N/A")
-            preview = content[:200] + "..." if len(content) > 200 else content
-            table.add_row(str(i), doc.get("title", "N/A"),
-                          f"{doc.get('score', 0):.3f}", preview)
+            table.add_row(str(i), doc.get("title") or "(untitled)",
+                          f"{doc.get('score', 0):.3f}",
+                          _preview(doc.get("content", "")))
         self.console.print(table)
         if not interactive:
             return
         self.console.print(
-            "\nFor detailed view of a document, enter its number "
-            "(or press Enter to continue)"
+            f"[dim]open a result? type 1-{len(results)}, blank to skip[/]"
         )
         try:
-            choice = input("> ").strip()
+            choice = input("open> ").strip()
         except EOFError:
             return
         if choice.isdigit() and 1 <= int(choice) <= len(results):
             self.show_detailed_view(results[int(choice) - 1])
 
     def show_detailed_view(self, doc: dict) -> None:
+        from rich import box
         from rich.panel import Panel
-        from rich.text import Text
+        from rich.table import Table
 
-        self.console.print("\n")
-        self.console.print(Panel(
-            Text.from_markup(
-                f"[bold cyan]Title:[/] {doc.get('title', 'N/A')}\n"
-                f"[bold cyan]URL:[/] {doc.get('url', 'N/A')}\n"
-                f"[bold cyan]Score:[/] {doc.get('score', 0):.3f}\n"
-                f"\n[bold cyan]Content:[/]\n{doc.get('content', 'N/A')}"
-            ),
-            title="Document Details",
-            expand=False,
-        ))
+        meta = Table.grid(padding=(0, 1))
+        meta.add_column(style="bold", justify="right")
+        meta.add_column()
+        meta.add_row("title", doc.get("title") or "(untitled)")
+        meta.add_row("url", doc.get("url") or "-")
+        meta.add_row("score", f"{doc.get('score', 0):.3f}")
+        self.console.print(Panel(meta, box=box.ROUNDED, title="result"))
+        self.console.print(doc.get("content") or "(no content)")
 
     async def query_once(self, session, query: str) -> Optional[dict]:
         import aiohttp
-        from rich.panel import Panel
 
         try:
             async with session.post(
@@ -88,43 +90,34 @@ class APISearch:
             ) as response:
                 if response.status == 200:
                     return await response.json()
-                error_text = await response.text()
-                self.console.print(Panel(
-                    f"API request failed with status {response.status}\n"
-                    f"Details: {error_text}",
-                    title="Error", style="bold red",
-                ))
+                detail = await response.text()
+                self.console.print(
+                    f"[bold red]server replied {response.status}[/] — {detail}"
+                )
         except aiohttp.ClientError as e:
-            self.console.print(Panel(
-                f"Error connecting to API server: {e}\n"
-                f"Make sure the API server is running at {self.api_url}",
-                title="Connection Error", style="bold red",
-            ))
+            self.console.print(
+                f"[bold red]cannot reach {self.api_url}[/] ({e}) — "
+                "is the server up? try scripts/serve.sh"
+            )
         return None
 
     async def search_loop(self, interactive: bool = True) -> None:
         import aiohttp
-        from rich.panel import Panel
 
-        self.console.print(Panel(
-            "[bold]Welcome to RAG API Search[/]\n"
-            "Enter your search queries below, or type 'exit' to quit\n"
-            f"API URL: {self.api_url}",
-            style="bold blue",
-        ))
+        self.console.print(
+            f"[bold]rag-faiss-embedding-tpu API client[/] → {self.api_url}\n"
+            "type a query, or 'exit' when done"
+        )
         async with aiohttp.ClientSession() as session:
             while True:
                 try:
                     if interactive:
-                        query = self.console.input(
-                            "\n[bold yellow]Enter search query:[/] "
-                        )
+                        query = self.console.input("\n[bold]query>[/] ")
                     else:
                         query = input()
                 except (EOFError, KeyboardInterrupt):
                     break
                 if query.strip().lower() == "exit":
-                    self.console.print("\n[bold green]Goodbye![/]")
                     break
                 if not query.strip():
                     continue
@@ -134,10 +127,9 @@ class APISearch:
                 self.print_results(data.get("similar_documents", []),
                                    interactive=interactive)
                 if data.get("generated_response"):
-                    self.console.print(Panel(
-                        data["generated_response"],
-                        title="Generated Response", style="green",
-                    ))
+                    self.console.print(
+                        "[bold]answer:[/] " + data["generated_response"]
+                    )
 
 
 def main(argv: Optional[List[str]] = None) -> None:

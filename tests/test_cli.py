@@ -46,7 +46,7 @@ def test_cli_empty_results_panel(manager, capsys):
     manager.initialize_database()
     cli = CLISearch(manager=manager)
     cli.print_results([], interactive=False)
-    assert "No documents found" in capsys.readouterr().out
+    assert "no matches" in capsys.readouterr().out
 
 
 def test_admin_tool_flow(manager, capsys):

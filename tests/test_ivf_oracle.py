@@ -102,3 +102,23 @@ def test_tpu_ivf_recall_meets_numpy_ivf_oracle(rng):
     assert _recall(oracle.search(q, k, n_modes), truth) == 1.0
     _, ids = idx.search(q, k, nprobe=n_modes)
     assert _recall(ids, truth) == 1.0
+
+
+def test_balanced_build_zero_spill_on_bench_distribution(rng):
+    """Spill regression bound (VERDICT r03 #9: the r03 headline build
+    spilled 38 rows at 1M/nlist=8192 where r02 spilled 0). Proportional
+    replica of the bench regime — gaussian mixture, mean 128 rows/list,
+    window cap 2x the mean, donor-split training + greedy reassignment —
+    must place every row in a capped list (spill = 0). bench.py data:
+    8192 modes, spread 0.7, nlist ~ 8*sqrt(N)."""
+    n, nlist, dim, n_modes = 65536, 512, 128, 512
+    centers = rng.standard_normal((n_modes, dim)).astype(np.float32)
+    mode = rng.integers(0, n_modes, size=n)
+    pts = centers[mode] + 0.7 * rng.standard_normal((n, dim)).astype(
+        np.float32)
+    idx = IVFFlatIndex(dim, nlist=nlist, dtype="bfloat16", train_iters=10,
+                       balance="reassign")
+    idx.build(pts)
+    assert idx._pending.ntotal == 0, (
+        f"balanced build spilled {idx._pending.ntotal} rows "
+        f"(window {idx._window})")

@@ -301,9 +301,147 @@ def test_ivfpq_validations():
     with pytest.raises(ValueError):
         IVFFlatIndex(65, pq_m=16)
     with pytest.raises(ValueError):
-        IVFFlatIndex(64, pq_m=16, rerank=True)
+        IVFFlatIndex(64, pq_m=16, refine_dtype="fp4")
     with pytest.raises(ValueError):
         Config(base_dir="/tmp", vector_dimension=30, ivf_pq_m=16)
+    # pq_m + rerank is the PQ refine tier (FAISS IndexRefine analog), a
+    # feature since round 3 — it must construct with a deeper default pool
+    idx = IVFFlatIndex(64, pq_m=16, rerank=True)
+    assert idx.rerank and idx.rerank_depth == 64
+    assert idx.refine_dtype == "int8"
+
+
+def _refine_recall(idx, q, pts, k=10, nprobe=None):
+    """recall@k of idx.search vs the float64 exact oracle on pts."""
+    d = ((q.astype(np.float64)[:, None] - pts.astype(np.float64)[None])
+         ** 2).sum(-1)
+    truth = np.argsort(d, axis=1, kind="stable")[:, :k]
+    _, pred = idx.search(q, k, nprobe=nprobe)
+    pred = np.asarray(pred)
+    hits = sum(len(set(p.tolist()) & set(t.tolist()))
+               for p, t in zip(pred, truth))
+    return hits / truth.size
+
+
+@pytest.mark.parametrize("refine_dtype,floor", [
+    # floors from the numeric analysis of the self-consistent-norm rerank
+    # (|x̂|² scoring): the ranking error is 2·(q−x)·(x−x̂), so it scales
+    # with the shadow dtype's quantization step. This data is ADVERSARIAL —
+    # near-tied same-cluster neighbors with gaps below int8 resolution.
+    ("int8", 0.90), ("bfloat16", 0.95), ("float32", 0.99),
+])
+def test_ivfpq_refine_beats_pure_adc(rng, refine_dtype, floor):
+    """The refine shadow re-scores the ADC candidates at shadow precision,
+    so recall@10 vs the TRUE (unquantized) oracle must beat the codec-bound
+    pure-ADC ranking on near-tied clustered neighbors. Guards the
+    self-consistent-norm scoring: with mixed exact-norm scoring this
+    measured 0.60 flat across all dtypes and depths."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=96, spread=0.25)
+    q = (pts[rng.choice(len(pts), 32, replace=False)]
+         + 0.05 * rng.standard_normal((32, 64)).astype(np.float32))
+
+    pure = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32")
+    pure.build(pts)
+    refined = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                           rerank=True, rerank_depth=256,
+                           refine_dtype=refine_dtype)
+    refined.build(pts)
+
+    r_pure = _refine_recall(pure, q, pts, nprobe=8)
+    r_ref = _refine_recall(refined, q, pts, nprobe=8)
+    assert r_ref >= r_pure, (r_ref, r_pure)
+    assert r_ref >= floor, (refine_dtype, r_ref)
+
+
+def test_ivfpq_opq_search(rng):
+    """pq_opq=True in IVFFlatIndex: rotation is orthogonal, applied to the
+    residual codec only (coarse stage unrotated), and search stays sane."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=96, spread=0.25)
+    q = pts[rng.choice(len(pts), 32, replace=False)]
+    idx = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                       pq_opq=True)
+    idx.build(pts)
+    rot = np.asarray(idx.pq_rot)
+    np.testing.assert_allclose(rot @ rot.T, np.eye(64), atol=1e-4)
+    # exact self-queries: recall@1 must be high even through the codec
+    _, pred = idx.search(q, 1, nprobe=8)
+    d = ((q.astype(np.float64)[:, None] - pts.astype(np.float64)[None])
+         ** 2).sum(-1)
+    truth = np.argsort(d, axis=1, kind="stable")[:, 0]
+    assert (np.asarray(pred)[:, 0] == truth).mean() >= 0.9
+
+
+def test_ivfpq_refine_opq_persistence_round_trip(rng, tmp_path):
+    """shadow / shadow_scales / shadow_sq / pq_rot / rerank_depth /
+    refine_dtype all survive save->load bit-exactly (padded_v3 codec)."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.index.vector_store import VectorStore
+
+    pts = clustered(rng, n_clusters=16, per=96, spread=0.25)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    idx = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                       pq_opq=True, rerank=True, rerank_depth=48)
+    idx.build(pts)
+    v1, i1 = idx.search(q, k=5)
+    store = VectorStore(dimension=64, index_path=tmp_path / "refine.idx",
+                        index=idx)
+    store.doc_ids = list(range(idx.ntotal))
+    store.save_index()
+
+    loaded = VectorStore(dimension=64,
+                         index_path=tmp_path / "refine.idx").index
+    assert loaded.rerank and loaded.rerank_depth == 48
+    assert loaded.refine_dtype == "int8"
+    assert loaded.pq_opq and loaded.pq_rot is not None
+    np.testing.assert_array_equal(np.asarray(idx.pq_rot),
+                                  np.asarray(loaded.pq_rot))
+    np.testing.assert_array_equal(np.asarray(idx._sorted_shadow),
+                                  np.asarray(loaded._sorted_shadow))
+    np.testing.assert_array_equal(np.asarray(idx._sorted_shadow_scales),
+                                  np.asarray(loaded._sorted_shadow_scales))
+    np.testing.assert_array_equal(np.asarray(idx._sorted_shadow_sq),
+                                  np.asarray(loaded._sorted_shadow_sq))
+    v2, i2 = loaded.search(q, k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def test_ivfpq_refine_edge_cases(rng):
+    """Refine composed with filter_mask, remove_ids, and k > rerank_depth."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=96, spread=0.25)
+    q = pts[rng.choice(len(pts), 16, replace=False)]
+    idx = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                       rerank=True, rerank_depth=16)
+    idx.build(pts)
+
+    # k > rerank_depth: still returns k valid rows (pool widens to k)
+    vals, ids = idx.search(q[:4], 32, nprobe=8)
+    ids = np.asarray(ids)
+    assert ids.shape == (4, 32) and (ids >= 0).all()
+    assert np.isfinite(np.asarray(vals)).all()
+
+    # remove_ids: tombstoned rows never reappear through the refine stage
+    d = ((q.astype(np.float64)[:, None] - pts.astype(np.float64)[None])
+         ** 2).sum(-1)
+    nearest = np.argsort(d, axis=1, kind="stable")[:, 0]
+    idx.remove_ids(np.unique(nearest))
+    _, pred = idx.search(q, 5, nprobe=8)
+    assert not (np.isin(np.asarray(pred), nearest)).any()
+
+    # filter_mask: only allowed ids survive, distances exact over the set
+    mask = np.zeros(idx.ntotal, bool)
+    allowed = np.arange(0, idx.ntotal, 3)
+    mask[allowed] = True
+    mask[np.unique(nearest)] = False  # deleted rows are gone anyway
+    _, pred = idx.search(q, 5, nprobe=8, filter_mask=mask)
+    pred = np.asarray(pred)
+    assert np.isin(pred[pred >= 0], np.flatnonzero(mask)).all()
 
 
 def test_ivfpq_build_chunked_matches_dense_build(rng):
@@ -529,3 +667,38 @@ def test_sharded_ivfpq_parity(rng):
     rel = (np.sum((vecs[np.argsort(ids)][10] - pts[np.sort(ids)[10]]) ** 2)
            / np.sum(pts[np.sort(ids)[10]] ** 2))
     assert rel < 0.2, rel
+
+
+def test_ivfpq_union_segmentation_matches_unsegmented(rng, monkeypatch):
+    """Forcing useg > 1 (tiny step budget) must reproduce the single-pass
+    union scan: same ids, same distances — segmentation is a memory
+    strategy, never a result change. Guards the nprobe>=32 cliff fix
+    (SCALE_r03 collapsed qc to 8 instead of segmenting the union)."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.ops import ivf_scan
+
+    pts = clustered(rng, n_clusters=16, per=96, spread=0.25)
+    q = pts[rng.choice(len(pts), 32, replace=False)] \
+        + 0.05 * rng.standard_normal((32, 64)).astype(np.float32)
+
+    idx = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32")
+    idx.build(pts)
+    v1, i1 = idx.search(q, 10, nprobe=8)
+    # force the segmented path: budget below one list's worth of bytes
+    # (useg is computed OUTSIDE the jit, so the patched budget
+    # re-specializes the trace — useg is a static argname)
+    monkeypatch.setattr(ivf_scan, "_STEP_BYTES_BUDGET", 1 << 20)
+    v2, i2 = idx.search(q, 10, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+
+    # and with the refine shadow + a filter riding on top
+    idx2 = IVFFlatIndex(64, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                        rerank=True, rerank_depth=32)
+    idx2.build(pts)
+    mask = np.zeros(idx2.ntotal, bool)
+    mask[::2] = True
+    v3, i3 = idx2.search(q, 5, nprobe=8, filter_mask=mask)
+    i3 = np.asarray(i3)
+    assert np.isin(i3[i3 >= 0], np.flatnonzero(mask)).all()
