@@ -63,7 +63,9 @@ Q_BATCH = 1024
 # vs 128k (fewer approx_max_k invocations / merges; 1M single-chunk regresses)
 CHUNK = 524288
 REPS = 8
-MAX_REPS = 128  # honest-timing escalation ceiling (see timed())
+MAX_REPS = 512  # honest-timing escalation ceiling (see timed()): at the
+#                 Pallas path's ~0.4 ms/batch, 512 reps ≈ 200 ms of real
+#                 work — safely above any observed tunnel RTT (30-90 ms)
 RECALL_QUERIES = 1024  # sigma(recall@10) ~ 1e-3 at p=0.99 — gate-decision grade
 NORTH_STAR_QPS = 1_000_000.0
 # Physical sanity bound for the roofline gate (docs/PERF.md checklist #5:
@@ -249,7 +251,11 @@ def main() -> None:
                 float(fn(stack, *args))
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
-            if best > 2.0 * rtt:
+            # resolved when the WORK part both dominates the RTT and is
+            # large in absolute terms (RTT jitter between trivial
+            # dispatches is several ms — subtracting a 33±5 ms RTT from a
+            # 40 ms region would put 15%+ noise on the headline)
+            if best - rtt > max(rtt, 0.030):
                 return (best - rtt) / reps, rtt, reps, True
             if reps >= MAX_REPS:
                 # still RTT-dominated at the ceiling: report a LOWER BOUND
