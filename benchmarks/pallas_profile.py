@@ -1,0 +1,210 @@
+"""Honest stage profile of the Pallas fused IVF path (the headline config).
+
+The r03 "stage budget" (coarse+union 0.1 / kernel 0.15 / decode 0.1 ms)
+implied 204 MB of block reads in 0.15 ms = 1.36 TB/s — above the chip's
+HBM bandwidth, i.e. it was produced by the same RTT-clamped timing that
+corrupted BENCH_r03. This profiler re-measures each cumulative prefix of
+the shipped flow (ops/ivf_scan.fused_ivf_search_math, backend="pallas")
+under the escalating-reps protocol from bench.py: a stage is only
+reported when its timed region exceeds max(RTT, 30 ms), so every number
+here is physically meaningful. Stage N+1 minus stage N isolates one
+stage.
+
+Run: PYTHONPATH=. python -m benchmarks.pallas_profile          (TPU)
+     PYTHONPATH=. python -m benchmarks.pallas_profile --small  (CPU smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+DIM, K, Q_BATCH = 384, 10, 1024
+MAX_REPS = 512
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--cap", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax import lax
+
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+    from rag_faiss_embedding_tpu.ops.ivf_scan import (
+        _spill_and_finalize, default_union_cap, fused_ivf_search_math,
+        pick_query_chunk,
+    )
+    from rag_faiss_embedding_tpu.ops.pallas_ivf import (
+        decode_topk, pick_bb, union_scan,
+    )
+
+    small = args.small or jax.devices()[0].platform != "tpu"
+    n_db = 1 << 16 if small else 1 << 20
+    nlist = 512 if small else 8192
+    q_batch = 128 if small else Q_BATCH
+    n_modes = 8192
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def gen_db(k):
+        kc, km, kn = jax.random.split(k, 3)
+        centers = jax.random.normal(kc, (n_modes, DIM), jnp.float32)
+        mode = jax.random.randint(km, (n_db,), 0, n_modes)
+        return centers[mode] + 0.7 * jax.random.normal(
+            kn, (n_db, DIM), jnp.float32)
+
+    db = gen_db(key)
+    jax.block_until_ready(db)
+
+    idx = IVFFlatIndex(DIM, nlist=nlist, dtype="bfloat16", train_iters=10,
+                       balance="reassign")
+    t0 = time.perf_counter()
+    idx.build(db)
+    print(json.dumps({"stage": "build", "s": round(time.perf_counter() - t0, 1),
+                      "window": idx._window,
+                      "spill": int(idx._pending.ntotal)}), flush=True)
+
+    window = idx._window
+    nprobe = args.nprobe
+    ucap = default_union_cap(nlist, nprobe)
+    qc = pick_query_chunk(nprobe, window, DIM, 2, q_batch, union_cap=ucap)
+    cap = args.cap
+    print(json.dumps({"config": {"nprobe": nprobe, "ucap": ucap, "qc": qc,
+                                 "cap": cap, "window": window,
+                                 "nlist": nlist}}), flush=True)
+
+    @jax.jit
+    def gen_q(k, db):
+        ks, kn = jax.random.split(k)
+        src = jax.random.randint(ks, (8 * q_batch,), 0, n_db)
+        noise = jax.random.normal(kn, (8 * q_batch, DIM), jnp.float32)
+        return (db[src] + 0.3 * noise).reshape(8, q_batch, DIM)
+
+    qstack0 = gen_q(jax.random.fold_in(key, 1), db)
+    jax.block_until_ready(qstack0)
+    trivial = jax.jit(lambda x: x.sum())
+    float(trivial(qstack0))
+
+    cent = idx._cent_store
+    cent_sq = idx._cent_sq
+    codes = idx._sorted_vecs
+    sorted_sq = idx._sorted_sq
+    sorted_ids = idx._sorted_ids
+    spill = idx._pending_dev() if idx._pending.ntotal else None
+
+    def head(qf):
+        """Coarse + chunkmax union (the >2048-list bench path)."""
+        cdots = jnp.dot(qf.astype(cent.dtype), cent.T,
+                        preferred_element_type=jnp.float32)
+        cscores = 2.0 * cdots - cent_sq[None, :]
+        rel = cscores - jnp.max(cscores, axis=1, keepdims=True)
+        top1 = jnp.argmax(cscores, axis=1)
+        perm = jnp.argsort(top1, stable=True)
+        qp = qf[perm]
+        rel_p = rel[perm]
+        steps = q_batch // qc
+        chunk_rel = jnp.max(rel_p.reshape(steps, qc, nlist), axis=1)
+        _, u_all = lax.top_k(chunk_rel, min(ucap, nlist))
+        u_all = jnp.sort(u_all.astype(jnp.int32), axis=1)
+        return qp, perm, u_all, steps
+
+    q_sq_of = lambda qf: jnp.sum(qf * qf, axis=-1)
+
+    def stage_fn(stage):
+        def one(qf):
+            qp, perm, u_all, steps = head(qf)
+            if stage == "coarse_union":
+                return u_all.sum().astype(jnp.float32) + qp.sum()
+            bb = pick_bb(window, DIM, codes.dtype.itemsize, u_all.shape[1])
+            u_pad = (-u_all.shape[1]) % bb
+            if u_pad:
+                u_all = jnp.concatenate(
+                    [u_all, jnp.full((steps, u_pad), nlist, jnp.int32)],
+                    axis=1)
+            qs = qp.astype(codes.dtype).reshape(steps, qc, DIM)
+            packed = union_scan(qs, u_all, codes.reshape(-1, window, DIM),
+                                sorted_sq, sorted_ids, window=window,
+                                cap=cap, bb=bb, metric="L2",
+                                interpret=small)
+            if stage == "kernel":
+                return packed.sum().astype(jnp.float32)
+            vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
+                                        window=window, k=K)
+            if stage == "decode":
+                return vals_p.sum() + ids_p.sum().astype(jnp.float32)
+            inv = jnp.argsort(perm)
+            best_v, best_i = vals_p[inv], ids_p[inv]
+            v, i = _spill_and_finalize(best_v, best_i, qf, q_sq_of(qf),
+                                       spill, False, "L2", K, q_batch)
+            return v.sum() + i.sum().astype(jnp.float32)
+
+        def many(qstk):
+            def body(acc, q):
+                return acc + one(q), None
+            acc, _ = lax.scan(body, jnp.float32(0.0), qstk)
+            return acc
+        return many
+
+    def full_shipped(qstk):
+        def body(acc, q):
+            v, i = fused_ivf_search_math(
+                q, cent, cent_sq, codes, None, sorted_sq, sorted_ids,
+                spill, None,
+                k=K, nprobe=nprobe, window=window, metric="L2",
+                recall_target=idx.recall_target, union_cap=ucap, qc=qc,
+                union_mode="chunkmax" if nlist > 2048 else "minrank",
+                backend="pallas", pallas_cap=cap, interpret=small)
+            v = jnp.where(jnp.isfinite(v), v, 0.0)
+            return acc + v.sum() + i.sum().astype(jnp.float32), None
+        acc, _ = lax.scan(body, jnp.float32(0.0), qstk)
+        return acc
+
+    def timed(label, fn):
+        f = jax.jit(fn)
+        stack, reps = qstack0, 8
+        while True:
+            float(f(stack))  # compile + warm at this scan length
+            rtts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(trivial(qstack0))
+                rtts.append(time.perf_counter() - t0)
+            rtt = sorted(rtts)[1]
+            best = None
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(f(stack))
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            if best - rtt > max(rtt, 0.030) or reps >= MAX_REPS:
+                per = (best - rtt) / reps
+                print(json.dumps({
+                    "stage": label, "ms_per_batch": round(per * 1e3, 4),
+                    "qps": round(q_batch / max(per, 1e-9), 1),
+                    "reps": reps,
+                    "resolved": bool(best - rtt > max(rtt, 0.030)),
+                }), flush=True)
+                return per
+            new = min(MAX_REPS, reps * 4)
+            stack = jnp.concatenate(
+                [stack] * ((new + reps - 1) // reps), axis=0)[:new]
+            reps = new
+
+    for st in ("coarse_union", "kernel", "decode", "tail"):
+        timed(st, stage_fn(st))
+    timed("full_shipped", full_shipped)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,24 @@ class VectorStore:
         self.index.add(vectors)
         logger.debug("added %d vectors (ntotal=%d)", len(ids), self.ntotal)
 
+    def import_faiss(self, path: str | Path,
+                     mapping_path: Optional[str | Path] = None) -> int:
+        """Migrate a reference ``faiss.write_index`` flat binary into this
+        store (one-way; see :mod:`.faiss_import`). The file's metric must
+        match the store's. Returns the number of vectors imported."""
+        from .faiss_import import import_faiss_index
+
+        vecs, ids, metric = import_faiss_index(path, mapping_path)
+        if metric != self.metric:
+            raise ValueError(
+                f"FAISS file is {metric} but this store is {self.metric}")
+        if vecs.shape[1] != self.dimension:
+            raise ValueError(
+                f"FAISS file is {vecs.shape[1]}-d but this store is "
+                f"{self.dimension}-d")
+        self.add_vectors(vecs, ids)
+        return len(ids)
+
     def search(
         self,
         query_vectors: np.ndarray,
