@@ -50,9 +50,10 @@ def main() -> None:
     )
 
     small = args.small or jax.devices()[0].platform != "tpu"
-    n_db = 1 << 16 if small else 1 << 20
-    nlist = 512 if small else 8192
-    q_batch = 128 if small else Q_BATCH
+    # interpret-mode pallas is python-rate: keep the CPU smoke tiny
+    n_db = 1 << 12 if small else 1 << 20
+    nlist = 32 if small else 8192
+    q_batch = 32 if small else Q_BATCH
     n_modes = 8192
     key = jax.random.PRNGKey(0)
 
@@ -170,6 +171,8 @@ def main() -> None:
         acc, _ = lax.scan(body, jnp.float32(0.0), qstk)
         return acc
 
+    max_reps = 8 if small else MAX_REPS
+
     def timed(label, fn):
         f = jax.jit(fn)
         stack, reps = qstack0, 8
@@ -187,7 +190,7 @@ def main() -> None:
                 float(f(stack))
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
-            if best - rtt > max(rtt, 0.030) or reps >= MAX_REPS:
+            if best - rtt > max(rtt, 0.030) or reps >= max_reps:
                 per = (best - rtt) / reps
                 print(json.dumps({
                     "stage": label, "ms_per_batch": round(per * 1e3, 4),
@@ -196,7 +199,7 @@ def main() -> None:
                     "resolved": bool(best - rtt > max(rtt, 0.030)),
                 }), flush=True)
                 return per
-            new = min(MAX_REPS, reps * 4)
+            new = min(max_reps, reps * 4)
             stack = jnp.concatenate(
                 [stack] * ((new + reps - 1) // reps), axis=0)[:new]
             reps = new
