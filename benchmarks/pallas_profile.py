@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--cap", type=int, default=2)
+    ap.add_argument("--variant", type=int, default=1,
+                    help="pallas union-scan kernel variant (1 or 2)")
+    ap.add_argument("--cache", default="",
+                    help="pickle path for the built index: load if present, "
+                    "else build once and save (kernel-iteration speedup)")
     args = ap.parse_args()
 
     import jax
@@ -68,22 +73,39 @@ def main() -> None:
     db = gen_db(key)
     jax.block_until_ready(db)
 
-    idx = IVFFlatIndex(DIM, nlist=nlist, dtype="bfloat16", train_iters=10,
-                       balance="reassign")
-    t0 = time.perf_counter()
-    idx.build(db)
-    print(json.dumps({"stage": "build", "s": round(time.perf_counter() - t0, 1),
-                      "window": idx._window,
-                      "spill": int(idx._pending.ntotal)}), flush=True)
+    import pathlib
+    import pickle
+
+    cache = pathlib.Path(args.cache) if args.cache else None
+    if cache is not None and cache.exists():
+        t0 = time.perf_counter()
+        idx = IVFFlatIndex.from_state_dict(
+            pickle.loads(cache.read_bytes()))
+        print(json.dumps({"stage": "load", "s":
+                          round(time.perf_counter() - t0, 1),
+                          "window": idx._window}), flush=True)
+    else:
+        idx = IVFFlatIndex(DIM, nlist=nlist, dtype="bfloat16",
+                           train_iters=10, balance="reassign")
+        t0 = time.perf_counter()
+        idx.build(db)
+        print(json.dumps({"stage": "build",
+                          "s": round(time.perf_counter() - t0, 1),
+                          "window": idx._window,
+                          "spill": int(idx._pending.ntotal)}), flush=True)
+        if cache is not None:
+            cache.write_bytes(pickle.dumps(idx.state_dict()))
 
     window = idx._window
     nprobe = args.nprobe
     ucap = default_union_cap(nlist, nprobe)
     qc = pick_query_chunk(nprobe, window, DIM, 2, q_batch, union_cap=ucap)
     cap = args.cap
+    variant = args.variant
     print(json.dumps({"config": {"nprobe": nprobe, "ucap": ucap, "qc": qc,
                                  "cap": cap, "window": window,
-                                 "nlist": nlist}}), flush=True)
+                                 "nlist": nlist, "variant": variant}}),
+          flush=True)
 
     @jax.jit
     def gen_q(k, db):
@@ -137,7 +159,7 @@ def main() -> None:
             packed = union_scan(qs, u_all, codes.reshape(-1, window, DIM),
                                 sorted_sq, sorted_ids, window=window,
                                 cap=cap, bb=bb, metric="L2",
-                                interpret=small)
+                                interpret=small, variant=variant)
             if stage == "kernel":
                 return packed.sum().astype(jnp.float32)
             vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
@@ -165,7 +187,8 @@ def main() -> None:
                 k=K, nprobe=nprobe, window=window, metric="L2",
                 recall_target=idx.recall_target, union_cap=ucap, qc=qc,
                 union_mode="chunkmax" if nlist > 2048 else "minrank",
-                backend="pallas", pallas_cap=cap, interpret=small)
+                backend="pallas", pallas_cap=cap, pallas_variant=variant,
+                interpret=small)
             v = jnp.where(jnp.isfinite(v), v, 0.0)
             return acc + v.sum() + i.sum().astype(jnp.float32), None
         acc, _ = lax.scan(body, jnp.float32(0.0), qstk)

@@ -174,6 +174,7 @@ class IVFFlatIndex:
         union_mode: str = "auto",
         backend: str = "auto",
         pallas_cap: int = 2,
+        pallas_variant: int = 1,
         pq_m: Optional[int] = None,
         pq_ksub: int = 256,
         pq_compute: str = "bf16",
@@ -329,6 +330,7 @@ class IVFFlatIndex:
             raise ValueError(f"bad backend {backend!r}")
         self.backend = backend
         self.pallas_cap = int(pallas_cap)
+        self.pallas_variant = int(pallas_variant)
         # stage timings of the last train/build (profiling; see
         # benchmarks/build_profile.py)
         self.build_stats: dict = {}
@@ -1113,6 +1115,7 @@ class IVFFlatIndex:
                     else self.union_mode
                 ),
                 backend=backend, pallas_cap=self.pallas_cap,
+                pallas_variant=self.pallas_variant,
             )
         return self._search_windowed(q, k, nprobe, filt=filt)
 

@@ -426,6 +426,7 @@ def fused_ivf_search_math(
     union_mode: str = "minrank",
     backend: str = "xla",
     pallas_cap: int = 2,
+    pallas_variant: int = 1,
     interpret: bool = False,
     useg: Optional[int] = None,  # PQ union segments (None = auto from the
     #                              step budget; see _pq_union_segments)
@@ -557,7 +558,7 @@ def fused_ivf_search_math(
             qs, u_all,
             codes.reshape(-1, window, d), sorted_sq, sorted_ids,
             window=window, cap=pallas_cap, bb=bb, metric=metric,
-            interpret=interpret,
+            interpret=interpret, variant=pallas_variant,
         )
         vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
                                     window=window, k=k)
@@ -770,7 +771,7 @@ _fused_jit = functools.partial(
     static_argnames=(
         "k", "nprobe", "window", "metric", "recall_target", "union_cap",
         "qc", "rerank_depth", "union_mode", "backend", "pallas_cap",
-        "interpret", "useg",
+        "pallas_variant", "interpret", "useg",
     ),
 )(fused_ivf_search_math)
 
@@ -802,6 +803,7 @@ def fused_ivf_search(
     union_mode: str = "minrank",
     backend: str = "auto",
     pallas_cap: int = 2,
+    pallas_variant: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched fused IVF search over a block-padded index.
 
@@ -880,6 +882,7 @@ def fused_ivf_search(
         k=k, nprobe=nprobe, window=window, metric=metric,
         recall_target=recall_target, union_cap=union_cap, qc=qc,
         rerank_depth=rerank_depth, union_mode=union_mode,
-        backend=backend, pallas_cap=pallas_cap, interpret=interpret,
+        backend=backend, pallas_cap=pallas_cap,
+        pallas_variant=pallas_variant, interpret=interpret,
         useg=useg,
     )

@@ -91,6 +91,61 @@ def pick_bb(window: int, dim: int, itemsize: int, u_pad: int) -> int:
     return min(bb, u_pad)
 
 
+# premask sentinel: dead/padded rows store this as their sqnorm, so
+# s = 2 q.x - rsq ~ -1e30 loses to every live row while staying far above
+# the 0.5 * NEG_INF validity floor decode_topk checks ids against
+_DEAD_SQ = jnp.float32(1e30)
+
+
+def _make_kernel_v2(bb: int, cap: int, nbits: int, window: int, precision,
+                    init_packed: int):
+    """L2 fast variant: dead-row masking pre-folded into the rsq operand
+    (aux is ONE (1, window) premasked-sqnorm row per list — no rid lane, no
+    mask ops), queries pre-doubled outside the kernel (s = dots - rsq), and
+    all ``bb`` MXU dots issued before the selection chain so Mosaic can
+    overlap matmuls with the (serially dependent) bin inserts. Measured vs
+    v1 at the 1M headline config: see docs/PERF.md."""
+    mask_lo = (1 << nbits) - 1
+
+    def kern(u_ref, q_ref, *refs):
+        blks = refs[:bb]                 # each (1, window, D) codes
+        auxs = refs[bb:2 * bb]           # each (1, window) i32 rsq bits
+        out_ref = refs[2 * bb]           # (1, QC, cap*window)
+        runs = refs[2 * bb + 1]          # scratch (cap, QC, window) int32
+
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _():
+            runs[:] = jnp.full_like(runs[:], jnp.int32(init_packed))
+
+        q2 = q_ref[0]                    # (QC, D), pre-doubled
+        dots = [
+            lax.dot_general(
+                q2, blks[j][0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            for j in range(bb)
+        ]                                # each (QC, window) f32
+        for j in range(bb):
+            rsq = pltpu.bitcast(auxs[j][0:1, :], jnp.float32)  # (1, window)
+            s = dots[j] - rsq
+            jglob = b * bb + j
+            t = (_monotone_i32(s) & jnp.int32(~mask_lo)) | jglob
+            for lvl in range(cap):
+                cur = runs[lvl]
+                runs[lvl] = jnp.maximum(cur, t)
+                if lvl + 1 < cap:
+                    t = jnp.minimum(cur, t)
+
+        @pl.when(b == pl.num_programs(1) - 1)
+        def _():
+            for lvl in range(cap):
+                out_ref[0, :, lvl * window:(lvl + 1) * window] = runs[lvl]
+
+    return kern
+
+
 def _make_kernel(bb: int, cap: int, metric: str, nbits: int, window: int,
                  precision, init_packed: int):
     mask_lo = (1 << nbits) - 1
@@ -142,7 +197,7 @@ def _make_kernel(bb: int, cap: int, metric: str, nbits: int, window: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "cap", "bb", "metric", "interpret"),
+    static_argnames=("window", "cap", "bb", "metric", "interpret", "variant"),
 )
 def union_scan(
     qs: jax.Array,       # (chunks, QC, D) storage dtype
@@ -157,11 +212,18 @@ def union_scan(
     bb: int,
     metric: str,
     interpret: bool,
+    variant: int = 1,
 ) -> jax.Array:
     """Scan each chunk's union blocks; return PACKED candidates
     (chunks, QC, cap*window) int32 — order-mapped scores with the low
     ``ceil(log2(U))`` bits carrying the union-block index. Decode with
-    :func:`decode_topk`."""
+    :func:`decode_topk`.
+
+    ``variant=2`` folds dead-row masking into a premasked-sqnorm aux
+    operand (``_DEAD_SQ`` rows lose to every live row; decode's ``ids >= 0``
+    check drops them if they surface) and pre-scales the queries (x2 for L2
+    — exact in any binary float — so the kernel computes ``dots - rsq``
+    with no in-kernel multiply or mask select)."""
     chunks, qc, d = qs.shape
     u = u_all.shape[1]
     assert u % bb == 0, (u, bb)
@@ -172,18 +234,36 @@ def union_scan(
         lax.Precision.HIGHEST if qs.dtype == jnp.float32
         else lax.Precision.DEFAULT
     )
-    # rsq (bitcast to i32) and rid ride ONE (1, 2, window) block per list:
-    # separate refs would double the per-block descriptor DMAs (the codes
-    # DMA is large; these are ~0.5 KB each, fixed-cost bound)
-    aux3 = jnp.stack(
-        [
-            lax.bitcast_convert_type(
-                sorted_sq.astype(jnp.float32), jnp.int32
-            ).reshape(-1, window),
-            sorted_ids.reshape(-1, window),
-        ],
-        axis=1,
-    )                                    # (nlist+1, 2, window) i32
+    if variant == 2:
+        rsq_f = (
+            sorted_sq.astype(jnp.float32) if metric == "L2"
+            else jnp.zeros(sorted_sq.shape, jnp.float32)
+        )
+        rsq_f = jnp.where(sorted_ids >= 0, rsq_f, _DEAD_SQ)
+        aux = lax.bitcast_convert_type(rsq_f, jnp.int32).reshape(-1, window)
+        aux_block = (1, window)
+        aux_map = lambda c, b, u_pre, j=0: (u_pre[c, b * bb + j], 0)
+        if metric == "L2":
+            qs = (qs.astype(jnp.float32) * 2.0).astype(qs.dtype)
+        kernel = _make_kernel_v2(bb, cap, nbits, window, precision,
+                                 init_packed)
+    else:
+        # rsq (bitcast to i32) and rid ride ONE (1, 2, window) block per
+        # list: separate refs would double the per-block descriptor DMAs
+        # (the codes DMA is large; these are ~0.5 KB each, fixed-cost bound)
+        aux = jnp.stack(
+            [
+                lax.bitcast_convert_type(
+                    sorted_sq.astype(jnp.float32), jnp.int32
+                ).reshape(-1, window),
+                sorted_ids.reshape(-1, window),
+            ],
+            axis=1,
+        )                                # (nlist+1, 2, window) i32
+        aux_block = (1, 2, window)
+        aux_map = lambda c, b, u_pre, j=0: (u_pre[c, b * bb + j], 0, 0)
+        kernel = _make_kernel(bb, cap, metric, nbits, window, precision,
+                              init_packed)
 
     in_specs = [pl.BlockSpec((1, qc, d), lambda c, b, u_pre: (c, 0, 0))]
     for j in range(bb):
@@ -192,8 +272,7 @@ def union_scan(
             lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
     for j in range(bb):
         in_specs.append(pl.BlockSpec(
-            (1, 2, window),
-            lambda c, b, u_pre, j=j: (u_pre[c, b * bb + j], 0, 0)))
+            aux_block, functools.partial(aux_map, j=j)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(chunks, nb),
@@ -203,8 +282,6 @@ def union_scan(
         ),
         scratch_shapes=[pltpu.VMEM((cap, qc, window), jnp.int32)],
     )
-    kernel = _make_kernel(bb, cap, metric, nbits, window, precision,
-                          init_packed)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -219,7 +296,7 @@ def union_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(u_all, qs, *([codes3] * bb), *([aux3] * bb))
+    )(u_all, qs, *([codes3] * bb), *([aux] * bb))
 
 
 def decode_topk(

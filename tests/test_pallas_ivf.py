@@ -37,17 +37,21 @@ def _build(rng, metric="L2", dtype="float32", n_clusters=32, dim=128,
     return idx, pts, q
 
 
+@pytest.mark.parametrize("variant", [1, 2])
 @pytest.mark.parametrize("metric,dtype", [
     ("L2", "float32"), ("L2", "bfloat16"), ("IP", "float32"),
 ])
-def test_pallas_matches_xla_backend(rng, metric, dtype):
+def test_pallas_matches_xla_backend(rng, metric, dtype, variant):
     """Same built index, same parameters: the Pallas chunk stage returns the
     same neighbor ids as the XLA chunk stage (selection is effectively
-    exact at cap=2 on this scale) and values agree to packing tolerance."""
+    exact at cap=2 on this scale) and values agree to packing tolerance.
+    Covers both kernel variants (v2 premasks dead rows into the sqnorm
+    operand and pre-doubles L2 queries)."""
     idx, pts, q = _build(rng, metric=metric, dtype=dtype)
     idx.backend = "xla"
     vx, ix = idx.search(q, 10, nprobe=8)
     idx.backend = "pallas"
+    idx.pallas_variant = variant
     vp, ip_ = idx.search(q, 10, nprobe=8)
     vx, ix, vp, ip_ = map(np.asarray, (vx, ix, vp, ip_))
     _, truth = numpy_exact(q, pts, 10, metric)
@@ -108,7 +112,22 @@ def test_pallas_k_exceeds_candidates(rng):
     assert (ids[:, 0] >= 0).all()
 
 
-def test_monotone_pack_roundtrip():
+def test_pallas_v2_dead_rows_stay_dead(rng):
+    """variant=2 has no in-kernel id mask — deleted rows are suppressed only
+    by the _DEAD_SQ premask. Delete the true nearest neighbors and check
+    they never surface; under-filled unions pad with id -1, never a dead
+    row's stale id."""
+    idx, pts, q = _build(rng, n_clusters=8, dim=128)
+    idx.backend = "pallas"
+    idx.pallas_variant = 2
+    _, before = idx.search(q[:8], 3, nprobe=8)
+    kill = np.unique(np.asarray(before)[:, 0])
+    idx.remove_ids(kill)
+    vals, after = idx.search(q[:8], 40, nprobe=1)
+    after = np.asarray(after)
+    assert not np.isin(after[after >= 0], kill).any()
+    # padded tail slots (k > candidates) decode to -1, not garbage
+    assert (after[:, 0] >= 0).all()
     """The order-preserving f32<->i32 map + low-bit packing used by the
     kernel: order preserved, values recovered to truncation tolerance,
     block ids recovered exactly."""
