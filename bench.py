@@ -400,7 +400,7 @@ def main() -> None:
                           idx._sorted_scales, idx._sorted_sq, idx._sorted_ids,
                           idx._sorted_shadow)
 
-            def make_ivf(nprobe, ucap, qc, backend):
+            def make_ivf(nprobe, ucap, qc, backend, pv):
                 # big arrays ride as jit ARGS (closed-over constants blow the
                 # axon remote-compile body limit, HTTP 413)
                 def many(qs, cent, cent_sq, codes, scales, sq, ids, shadow,
@@ -419,6 +419,7 @@ def main() -> None:
                                 "chunkmax" if idx.nlist > 2048 else "minrank"
                             ),
                             backend=backend, pallas_cap=idx.pallas_cap,
+                            pallas_variant=pv,
                         )
                         v = jnp.where(jnp.isfinite(v), v, 0.0)
                         return acc + v.sum() + i.sum().astype(jnp.float32), None
@@ -432,7 +433,10 @@ def main() -> None:
             # swept so a Pallas regression can never silently cost the
             # headline (recall measured through the shipped CLASS per
             # backend at identical parameters)
-            backends = ("pallas", "xla") if platform == "tpu" else ("xla",)
+            backends = (
+                (("pallas", 2), ("pallas", 1), ("xla", 1))
+                if platform == "tpu" else (("xla", 1),)
+            )
             sweep = {}
             best = None
             for nprobe in (16, 24):
@@ -440,15 +444,16 @@ def main() -> None:
                 qc = pick_query_chunk(nprobe, window, DIM,
                                       jnp.dtype(idx.dtype).itemsize,
                                       Q_BATCH, union_cap=ucap)
-                for backend in backends:
+                for backend, pv in backends:
                     idx.backend = backend
+                    idx.pallas_variant = pv
                     _, pred = idx.search(qstack32[0][:RECALL_QUERIES], K,
                                          nprobe=nprobe)
                     pred = np.asarray(pred)
                     hits = sum(len(set(p.tolist()) & set(t.tolist()))
                                for p, t in zip(pred, truth))
                     rec = hits / truth.size
-                    many = make_ivf(nprobe, ucap, qc, backend)
+                    many = make_ivf(nprobe, ucap, qc, backend, pv)
                     args = fused_args + (spill if spill is not None else ())
                     per, _, reps_used, resolved = timed(many, qstack32, *args)
                     qps = Q_BATCH / per
@@ -457,14 +462,15 @@ def main() -> None:
                     n_qc = -(-Q_BATCH // qc)
                     bpb = n_qc * ucap * window * (DIM * 2 + 8)
                     roof = HBM_BYTES_PER_S_BOUND / bpb * Q_BATCH
-                    sweep[f"{backend}_np{nprobe}"] = {
+                    tag = backend if pv == 1 else f"{backend}{pv}"
+                    sweep[f"{tag}_np{nprobe}"] = {
                         "qps": round(qps, 1), "recall_at_10": round(rec, 4),
                         "union_cap": ucap, "query_chunk": qc,
                         "reps": reps_used, "resolved": resolved,
                         "roofline_qps": round(roof, 1)}
                     if (rec >= 0.99 and resolved and qps <= roof
                             and (best is None or qps > best[1])):
-                        best = (nprobe, qps, rec, backend)
+                        best = (nprobe, qps, rec, tag)
             ivf_extras["ivf_sweep"] = sweep
             ivf_extras["ivf_window"] = window
             ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)
