@@ -109,7 +109,7 @@ def _make_kernel_v2(bb: int, cap: int, nbits: int, window: int, precision,
 
     def kern(u_ref, q_ref, *refs):
         blks = refs[:bb]                 # each (1, window, D) codes
-        auxs = refs[bb:2 * bb]           # each (1, window) i32 rsq bits
+        auxs = refs[bb:2 * bb]           # each (1, 1, window) i32 rsq bits
         out_ref = refs[2 * bb]           # (1, QC, cap*window)
         runs = refs[2 * bb + 1]          # scratch (cap, QC, window) int32
 
@@ -128,7 +128,7 @@ def _make_kernel_v2(bb: int, cap: int, nbits: int, window: int, precision,
             for j in range(bb)
         ]                                # each (QC, window) f32
         for j in range(bb):
-            rsq = pltpu.bitcast(auxs[j][0:1, :], jnp.float32)  # (1, window)
+            rsq = pltpu.bitcast(auxs[j][0], jnp.float32)   # (1, window)
             s = dots[j] - rsq
             jglob = b * bb + j
             t = (_monotone_i32(s) & jnp.int32(~mask_lo)) | jglob
@@ -240,9 +240,13 @@ def union_scan(
             else jnp.zeros(sorted_sq.shape, jnp.float32)
         )
         rsq_f = jnp.where(sorted_ids >= 0, rsq_f, _DEAD_SQ)
-        aux = lax.bitcast_convert_type(rsq_f, jnp.int32).reshape(-1, window)
-        aux_block = (1, window)
-        aux_map = lambda c, b, u_pre, j=0: (u_pre[c, b * bb + j], 0)
+        # (nlist+1, 1, window): a middle unit dim keeps the block's trailing
+        # dims equal to the array's (Mosaic tiling rule — a 2D (1, window)
+        # block on (nlist+1, window) is an illegal sub-8 sublane slice)
+        aux = lax.bitcast_convert_type(rsq_f, jnp.int32).reshape(
+            -1, 1, window)
+        aux_block = (1, 1, window)
+        aux_map = lambda c, b, u_pre, j=0: (u_pre[c, b * bb + j], 0, 0)
         if metric == "L2":
             qs = (qs.astype(jnp.float32) * 2.0).astype(qs.dtype)
         kernel = _make_kernel_v2(bb, cap, nbits, window, precision,
