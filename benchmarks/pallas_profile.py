@@ -119,14 +119,17 @@ def main() -> None:
     trivial = jax.jit(lambda x: x.sum())
     float(trivial(qstack0))
 
-    cent = idx._cent_store
-    cent_sq = idx._cent_sq
-    codes = idx._sorted_vecs
-    sorted_sq = idx._sorted_sq
-    sorted_ids = idx._sorted_ids
     spill = idx._pending_dev() if idx._pending.ntotal else None
+    # big arrays ride as jit ARGS, never closures: a closed-over device
+    # array is embedded in the compile payload, and the 1.6 GB codes
+    # constant reproducibly breaks the axon remote-compile pipe (the
+    # r04 profile runs all died at the kernel-stage compile; bench.py
+    # learned this the same way)
+    big = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
+           idx._sorted_sq, idx._sorted_ids) + (spill or ())
+    n_spill = len(spill) if spill is not None else 0
 
-    def head(qf):
+    def head(qf, cent, cent_sq):
         """Coarse + chunkmax union (the >2048-list bench path)."""
         cdots = jnp.dot(qf.astype(cent.dtype), cent.T,
                         preferred_element_type=jnp.float32)
@@ -145,8 +148,8 @@ def main() -> None:
     q_sq_of = lambda qf: jnp.sum(qf * qf, axis=-1)
 
     def stage_fn(stage):
-        def one(qf):
-            qp, perm, u_all, steps = head(qf)
+        def one(qf, cent, cent_sq, codes, sorted_sq, sorted_ids, sp):
+            qp, perm, u_all, steps = head(qf, cent, cent_sq)
             if stage == "coarse_union":
                 return u_all.sum().astype(jnp.float32) + qp.sum()
             bb = pick_bb(window, DIM, codes.dtype.itemsize, u_all.shape[1])
@@ -169,21 +172,27 @@ def main() -> None:
             inv = jnp.argsort(perm)
             best_v, best_i = vals_p[inv], ids_p[inv]
             v, i = _spill_and_finalize(best_v, best_i, qf, q_sq_of(qf),
-                                       spill, False, "L2", K, q_batch)
+                                       sp, False, "L2", K, q_batch)
             return v.sum() + i.sum().astype(jnp.float32)
 
-        def many(qstk):
+        def many(qstk, cent, cent_sq, codes, sorted_sq, sorted_ids, *sp):
+            sp = sp if n_spill else None
+
             def body(acc, q):
-                return acc + one(q), None
+                return acc + one(q, cent, cent_sq, codes, sorted_sq,
+                                 sorted_ids, sp), None
             acc, _ = lax.scan(body, jnp.float32(0.0), qstk)
             return acc
         return many
 
-    def full_shipped(qstk):
+    def full_shipped(qstk, cent, cent_sq, codes, sorted_sq, sorted_ids,
+                     *sp):
+        sp = sp if n_spill else None
+
         def body(acc, q):
             v, i = fused_ivf_search_math(
                 q, cent, cent_sq, codes, None, sorted_sq, sorted_ids,
-                spill, None,
+                sp, None,
                 k=K, nprobe=nprobe, window=window, metric="L2",
                 recall_target=idx.recall_target, union_cap=ucap, qc=qc,
                 union_mode="chunkmax" if nlist > 2048 else "minrank",
@@ -198,9 +207,14 @@ def main() -> None:
 
     def timed(label, fn):
         f = jax.jit(fn)
-        stack, reps = qstack0, 8
+        # start at 64 reps on TPU: a pallas-bearing stage pays one remote
+        # compile per scan length — escalating 8->32->... costs several
+        # multi-minute compiles through the tunnel for no extra honesty
+        stack, reps = qstack0, 8 if small else 64
+        if not small:
+            stack = jnp.concatenate([qstack0] * 8, axis=0)
         while True:
-            float(f(stack))  # compile + warm at this scan length
+            float(f(stack, *big))  # compile + warm at this scan length
             rtts = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -210,7 +224,7 @@ def main() -> None:
             best = None
             for _ in range(5):
                 t0 = time.perf_counter()
-                float(f(stack))
+                float(f(stack, *big))
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
             if best - rtt > max(rtt, 0.030) or reps >= max_reps:
