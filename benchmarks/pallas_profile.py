@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=2)
     ap.add_argument("--variant", type=int, default=1,
                     help="pallas union-scan kernel variant (1 or 2)")
+    ap.add_argument("--stages", default="",
+                    help="comma list overriding the default stage set "
+                    "(adds tail_perm / tail_nospill bisection stages)")
     ap.add_argument("--cache", default="",
                     help="pickle path for the built index: load if present, "
                     "else build once and save (kernel-iteration speedup)")
@@ -171,8 +174,11 @@ def main() -> None:
                 return vals_p.sum() + ids_p.sum().astype(jnp.float32)
             inv = jnp.argsort(perm)
             best_v, best_i = vals_p[inv], ids_p[inv]
+            if stage == "tail_perm":
+                return best_v.sum() + best_i.sum().astype(jnp.float32)
             v, i = _spill_and_finalize(best_v, best_i, qf, q_sq_of(qf),
-                                       sp, False, "L2", K, q_batch)
+                                       None if stage == "tail_nospill"
+                                       else sp, False, "L2", K, q_batch)
             return v.sum() + i.sum().astype(jnp.float32)
 
         def many(qstk, cent, cent_sq, codes, sorted_sq, sorted_ids, *sp):
@@ -241,9 +247,13 @@ def main() -> None:
                 [stack] * ((new + reps - 1) // reps), axis=0)[:new]
             reps = new
 
-    for st in ("coarse_union", "kernel", "decode", "tail"):
+    stages = ("coarse_union", "kernel", "decode", "tail")
+    if args.stages:
+        stages = tuple(args.stages.split(","))
+    for st in stages:
         timed(st, stage_fn(st))
-    timed("full_shipped", full_shipped)
+    if not args.stages:
+        timed("full_shipped", full_shipped)
 
 
 if __name__ == "__main__":

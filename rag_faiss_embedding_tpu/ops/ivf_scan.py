@@ -66,7 +66,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .distance import NEG_INF, _matmul_precision, merge_topk
+from .distance import NEG_INF, _matmul_precision, merge_topk, small_topk
 from .quantize import quantize_rows
 
 # Per-step HBM budget for the two big intermediates (gathered rows and the
@@ -738,6 +738,11 @@ def _spill_and_finalize(best_v, best_i, qf, q_sq, spill, quantized, metric,
             # a high target keeps the tier's contribution near-exact
             sv, sp = lax.approx_max_k(sscores, k_spill, recall_target=0.999)
             sp = sp.astype(jnp.int32)
+        elif k_spill <= 16:
+            # sort-based top_k on the (Nq, 1024)-padded spill scores was
+            # 0.73 ms of the 1.49 ms headline batch — HALF the search —
+            # for 38 live spill rows (benchmarks/pallas_profile.py r04)
+            sv, sp = small_topk(sscores, k_spill)
         else:
             sv, sp = lax.top_k(sscores, k_spill)
         si = s_ids[sp]

@@ -116,3 +116,29 @@ def test_approx_selector_high_recall(rng, metric):
     hits = sum(len(set(a.tolist()) & set(b.tolist()))
                for a, b in zip(np.asarray(idx), truth))
     assert hits / truth.size >= 0.95
+
+
+def test_small_topk_matches_lax_topk(rng):
+    """small_topk is exact with lax.top_k tie-break parity (lowest index
+    first), across float ties, NEG_INF padding, int32 extremes, and the
+    k >= m passthrough. It replaces the sort-based top_k in the fused-IVF
+    decode and spill stages (0.24 + 0.73 ms of the 1.49 ms r04 headline
+    batch; benchmarks/pallas_profile.py)."""
+    from jax import lax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((64, 257)).astype(np.float32)
+    x[:, 100] = x[:, 50]          # ties resolve to the lower index
+    x[:, 200:] = D.NEG_INF        # masked-slot sentinel values
+    for k in (1, 10, 16):
+        v1, i1 = lax.top_k(jnp.asarray(x), k)
+        v2, i2 = D.small_topk(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    xi = rng.integers(-2**31 + 5, 2**31 - 1, (32, 130), dtype=np.int32)
+    v1, i1 = lax.top_k(jnp.asarray(xi), 7)
+    v2, i2 = D.small_topk(jnp.asarray(xi), 7)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    v, i = D.small_topk(jnp.asarray(x[:, :8]), 8)   # k >= m: top_k path
+    assert v.shape == (64, 8)
