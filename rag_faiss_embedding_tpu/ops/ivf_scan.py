@@ -526,7 +526,9 @@ def fused_ivf_search_math(
         # runs on-chip; only (qc, cap*window) packed candidates per chunk
         # come back. Shares this function's coarse/union head and
         # spill/finalize tail with the XLA backend.
-        from .pallas_ivf import decode_topk, pick_bb, union_scan
+        from .pallas_ivf import (
+            decode_selected, decode_topk, pick_bb, union_scan,
+        )
 
         # direct math-level callers (bench sweeps, sharded tier) bypass the
         # pallas_eligible dispatch guard — fail loud rather than cast f32
@@ -554,14 +556,24 @@ def fused_ivf_search_math(
                 jnp.full((steps, u_pad), nlist, jnp.int32),
             ], axis=1)
         qs = qp.astype(codes.dtype).reshape(steps, qc, d)
+        # variant 2 with small k: select in-kernel (VMEM-resident
+        # candidates; the XLA top_k here was 0.29 ms of the 0.93 ms
+        # headline batch) and decode only the emitted pairs
+        ktop = k if (pallas_variant == 2
+                     and k <= min(16, pallas_cap * window - 1)) else 0
         packed = union_scan(
             qs, u_all,
             codes.reshape(-1, window, d), sorted_sq, sorted_ids,
             window=window, cap=pallas_cap, bb=bb, metric=metric,
-            interpret=interpret, variant=pallas_variant,
+            interpret=interpret, variant=pallas_variant, ktop=ktop,
         )
-        vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
-                                    window=window, k=k)
+        if ktop:
+            vals_p, ids_p = decode_selected(
+                packed[0], packed[1], u_all, sorted_ids,
+                window=window, k=k)
+        else:
+            vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
+                                        window=window, k=k)
         inv = jnp.argsort(perm)
         best_v = vals_p[:nq][inv]
         best_i = ids_p[:nq][inv]

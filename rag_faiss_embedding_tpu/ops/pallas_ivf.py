@@ -98,20 +98,30 @@ _DEAD_SQ = jnp.float32(1e30)
 
 
 def _make_kernel_v2(bb: int, cap: int, nbits: int, window: int, precision,
-                    init_packed: int):
+                    init_packed: int, ktop: int = 0, kpad: int = 0):
     """L2 fast variant: dead-row masking pre-folded into the rsq operand
     (aux is ONE (1, window) premasked-sqnorm row per list — no rid lane, no
     mask ops), queries pre-doubled outside the kernel (s = dots - rsq), and
     all ``bb`` MXU dots issued before the selection chain so Mosaic can
-    overlap matmuls with the (serially dependent) bin inserts. Measured vs
-    v1 at the 1M headline config: see docs/PERF.md."""
+    overlap matmuls with the (serially dependent) bin inserts.
+
+    ``ktop > 0`` additionally runs the final top-k selection IN-KERNEL at
+    the last grid step (``ktop`` masked-max passes over the VMEM-resident
+    (QC, cap*window) candidates) and emits (packed, flat-lane) pairs padded
+    to ``kpad`` lanes — the XLA-side sort-based top_k over the full packed
+    tile cost 0.29 ms of the 0.93 ms headline batch, and the output DMA
+    shrinks cap*window/kpad x."""
     mask_lo = (1 << nbits) - 1
 
     def kern(u_ref, q_ref, *refs):
         blks = refs[:bb]                 # each (1, window, D) codes
         auxs = refs[bb:2 * bb]           # each (1, 1, window) i32 rsq bits
-        out_ref = refs[2 * bb]           # (1, QC, cap*window)
-        runs = refs[2 * bb + 1]          # scratch (cap, QC, window) int32
+        if ktop:
+            out_ref, lane_ref = refs[2 * bb], refs[2 * bb + 1]
+            runs = refs[2 * bb + 2]      # scratch (cap, QC, window) int32
+        else:
+            out_ref = refs[2 * bb]       # (1, QC, cap*window)
+            runs = refs[2 * bb + 1]
 
         b = pl.program_id(1)
 
@@ -140,8 +150,31 @@ def _make_kernel_v2(bb: int, cap: int, nbits: int, window: int, precision,
 
         @pl.when(b == pl.num_programs(1) - 1)
         def _():
-            for lvl in range(cap):
-                out_ref[0, :, lvl * window:(lvl + 1) * window] = runs[lvl]
+            if ktop:
+                cand = jnp.concatenate(
+                    [runs[lvl] for lvl in range(cap)], axis=1
+                )                        # (QC, cap*window)
+                m = cap * window
+                li = lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+                cur = cand
+                cols_v, cols_l = [], []
+                for _ in range(ktop):
+                    v = jnp.max(cur, axis=1, keepdims=True)
+                    hit = cur == v
+                    lane = jnp.min(jnp.where(hit, li, m), axis=1,
+                                   keepdims=True)
+                    cols_v.append(v)
+                    cols_l.append(lane)
+                    cur = jnp.where(li == lane, jnp.int32(-(2 ** 31)), cur)
+                qc_rows = cand.shape[0]
+                pad_v = jnp.full((qc_rows, kpad - ktop),
+                                 jnp.int32(init_packed))
+                pad_l = jnp.zeros((qc_rows, kpad - ktop), jnp.int32)
+                out_ref[0] = jnp.concatenate(cols_v + [pad_v], axis=1)
+                lane_ref[0] = jnp.concatenate(cols_l + [pad_l], axis=1)
+            else:
+                for lvl in range(cap):
+                    out_ref[0, :, lvl * window:(lvl + 1) * window] = runs[lvl]
 
     return kern
 
@@ -197,7 +230,8 @@ def _make_kernel(bb: int, cap: int, metric: str, nbits: int, window: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "cap", "bb", "metric", "interpret", "variant"),
+    static_argnames=("window", "cap", "bb", "metric", "interpret", "variant",
+                     "ktop"),
 )
 def union_scan(
     qs: jax.Array,       # (chunks, QC, D) storage dtype
@@ -213,11 +247,16 @@ def union_scan(
     metric: str,
     interpret: bool,
     variant: int = 1,
+    ktop: int = 0,
 ) -> jax.Array:
     """Scan each chunk's union blocks; return PACKED candidates
     (chunks, QC, cap*window) int32 — order-mapped scores with the low
     ``ceil(log2(U))`` bits carrying the union-block index. Decode with
     :func:`decode_topk`.
+
+    ``ktop > 0`` (variant 2 only) moves the final top-k selection into the
+    kernel's last grid step and returns a (packed, flat_lane) PAIR of
+    (chunks, QC, 128) arrays — decode with :func:`decode_selected`.
 
     ``variant=2`` folds dead-row masking into a premasked-sqnorm aux
     operand (``_DEAD_SQ`` rows lose to every live row; decode's ``ids >= 0``
@@ -249,9 +288,12 @@ def union_scan(
         aux_map = lambda c, b, u_pre, j=0: (u_pre[c, b * bb + j], 0, 0)
         if metric == "L2":
             qs = (qs.astype(jnp.float32) * 2.0).astype(qs.dtype)
+        kpad = 128 if ktop else 0
+        assert ktop < cap * window
         kernel = _make_kernel_v2(bb, cap, nbits, window, precision,
-                                 init_packed)
+                                 init_packed, ktop=ktop, kpad=kpad)
     else:
+        assert ktop == 0, "in-kernel top-k is a variant-2 feature"
         # rsq (bitcast to i32) and rid ride ONE (1, 2, window) block per
         # list: separate refs would double the per-block descriptor DMAs
         # (the codes DMA is large; these are ~0.5 KB each, fixed-cost bound)
@@ -277,25 +319,40 @@ def union_scan(
     for j in range(bb):
         in_specs.append(pl.BlockSpec(
             aux_block, functools.partial(aux_map, j=j)))
+    if ktop:
+        out_specs = [
+            pl.BlockSpec((1, qc, kpad), lambda c, b, u_pre: (c, 0, 0)),
+            pl.BlockSpec((1, qc, kpad), lambda c, b, u_pre: (c, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((chunks, qc, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((chunks, qc, kpad), jnp.int32),
+        ]
+        out_bytes = 2 * chunks * qc * kpad * 4
+    else:
+        out_specs = pl.BlockSpec(
+            (1, qc, cap * window), lambda c, b, u_pre: (c, 0, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (chunks, qc, cap * window), jnp.int32)
+        out_bytes = chunks * qc * cap * window * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(chunks, nb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, qc, cap * window), lambda c, b, u_pre: (c, 0, 0)
-        ),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((cap, qc, window), jnp.int32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((chunks, qc, cap * window), jnp.int32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * chunks * qc * u * window * d,
             bytes_accessed=(
                 chunks * u * window * d * qs.dtype.itemsize
                 + chunks * qc * d * qs.dtype.itemsize
-                + chunks * qc * cap * window * 4
+                + out_bytes
             ),
             transcendentals=0,
         ),
@@ -333,6 +390,41 @@ def decode_topk(
     else:
         bv, pos = lax.top_k(flat, k_eff)
     lane = pos % window                            # bin == slot-in-window
+    jglob = bv & mask_lo
+    chunk = lax.broadcasted_iota(
+        jnp.int32, (chunks * qc, k_eff), 0
+    ) // qc
+    blk = u_all[chunk, jnp.minimum(jglob, u - 1)]
+    ids = sorted_ids[blk * window + lane]
+    vals = _unmonotone_f32(bv & ~mask_lo)
+    valid = (vals > 0.5 * NEG_INF) & (ids >= 0)
+    vals = jnp.where(valid, vals, NEG_INF)
+    ids = jnp.where(valid, ids, -1)
+    return vals, ids
+
+
+def decode_selected(
+    packed_k: jax.Array,   # (chunks, QC, kpad) int32 from union_scan(ktop=k)
+    lanes: jax.Array,      # (chunks, QC, kpad) int32 flat candidate lanes
+    u_all: jax.Array,      # (chunks, U) int32
+    sorted_ids: jax.Array,  # ((nlist+1)*window,) int32
+    *,
+    window: int,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode the IN-KERNEL-selected top-k pairs (union_scan ``ktop`` mode):
+    same bit untwiddle / union lookup / row-id gather as :func:`decode_topk`
+    minus its XLA-side top_k (a sort on TPU — 0.29 ms of the 0.93 ms r04
+    headline batch for a (1024, 512) tile). The flat lane encodes the
+    candidate's position across the cap levels; position-within-window is
+    ``lane % window`` (bins are slot-parallel across levels)."""
+    chunks, qc, kpad = packed_k.shape
+    u = u_all.shape[1]
+    nbits = max(1, int(np.ceil(np.log2(max(u, 2)))))
+    mask_lo = jnp.int32((1 << nbits) - 1)
+    k_eff = min(k, kpad)
+    bv = packed_k[..., :k_eff].reshape(chunks * qc, k_eff)
+    lane = lanes[..., :k_eff].reshape(chunks * qc, k_eff) % window
     jglob = bv & mask_lo
     chunk = lax.broadcasted_iota(
         jnp.int32, (chunks * qc, k_eff), 0
