@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--stages", default="",
                     help="comma list overriding the default stage set "
                     "(adds tail_perm / tail_nospill bisection stages)")
+    ap.add_argument("--bb", default="0",
+                    help="blocks-per-cell override(s) for the kernel "
+                    "stages, comma list (0 = pick_bb default); each value "
+                    "re-times the stage set in one process/index load")
+    ap.add_argument("--ktop", action="store_true",
+                    help="stage kernels run the in-kernel top-k")
     ap.add_argument("--cache", default="",
                     help="pickle path for the built index: load if present, "
                     "else build once and save (kernel-iteration speedup)")
@@ -155,21 +161,34 @@ def main() -> None:
             qp, perm, u_all, steps = head(qf, cent, cent_sq)
             if stage == "coarse_union":
                 return u_all.sum().astype(jnp.float32) + qp.sum()
-            bb = pick_bb(window, DIM, codes.dtype.itemsize, u_all.shape[1])
+            bb = bb_over or pick_bb(window, DIM, codes.dtype.itemsize,
+                                    u_all.shape[1])
             u_pad = (-u_all.shape[1]) % bb
             if u_pad:
                 u_all = jnp.concatenate(
                     [u_all, jnp.full((steps, u_pad), nlist, jnp.int32)],
                     axis=1)
             qs = qp.astype(codes.dtype).reshape(steps, qc, DIM)
+            ktop = K if args.ktop else 0
             packed = union_scan(qs, u_all, codes.reshape(-1, window, DIM),
                                 sorted_sq, sorted_ids, window=window,
                                 cap=cap, bb=bb, metric="L2",
-                                interpret=small, variant=variant)
+                                interpret=small, variant=variant,
+                                ktop=ktop)
             if stage == "kernel":
+                if ktop:
+                    return (packed[0].sum() + packed[1].sum()
+                            ).astype(jnp.float32)
                 return packed.sum().astype(jnp.float32)
-            vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
-                                        window=window, k=K)
+            if ktop:
+                from rag_faiss_embedding_tpu.ops.pallas_ivf import (
+                    decode_selected)
+                vals_p, ids_p = decode_selected(packed[0], packed[1],
+                                                u_all, sorted_ids,
+                                                window=window, k=K)
+            else:
+                vals_p, ids_p = decode_topk(packed, u_all, sorted_ids,
+                                            window=window, k=K)
             if stage == "decode":
                 return vals_p.sum() + ids_p.sum().astype(jnp.float32)
             inv = jnp.argsort(perm)
@@ -250,8 +269,11 @@ def main() -> None:
     stages = ("coarse_union", "kernel", "decode", "tail")
     if args.stages:
         stages = tuple(args.stages.split(","))
-    for st in stages:
-        timed(st, stage_fn(st))
+    for bb_over in [int(v) for v in args.bb.split(",")]:
+        if len(args.bb.split(",")) > 1:
+            print(json.dumps({"bb": bb_over}), flush=True)
+        for st in stages:
+            timed(st, stage_fn(st))
     if not args.stages:
         timed("full_shipped", full_shipped)
 
