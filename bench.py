@@ -428,60 +428,88 @@ def main() -> None:
                     return acc
                 return jax.jit(many)
 
-            # the Pallas fused union-scan backend dispatches on TPU for
-            # full-precision storage (ops/pallas_ivf.py); both backends are
-            # swept so a Pallas regression can never silently cost the
-            # headline (recall measured through the shipped CLASS per
-            # backend at identical parameters)
-            backends = (
-                (("pallas", 2), ("pallas", 1), ("xla", 1))
-                if platform == "tpu" else (("xla", 1),)
-            )
+            # Explicit config sweep: both kernel variants and the XLA
+            # backend (a Pallas regression can never silently cost the
+            # headline), plus DMA-lever configs — the v2 kernel is
+            # DMA-bound at ~410 GB/s effective (pallas_profile r04), so
+            # bigger query chunks / tighter unions trade recall for block
+            # reads. Recall is measured through the SAME math-level call
+            # that is timed (identical nprobe/ucap/qc/backend/variant).
+            def cfg(tag, nprobe, backend, pv, qc=None, ucap=None):
+                return dict(tag=tag, nprobe=nprobe, backend=backend, pv=pv,
+                            qc=qc, ucap=ucap)
+
+            cfgs = [
+                cfg("pallas2_np16", 16, "pallas", 2),
+                cfg("pallas_np16", 16, "pallas", 1),
+                cfg("xla_np16", 16, "xla", 1),
+                cfg("pallas2_np24", 24, "pallas", 2),
+                cfg("pallas2_np16_qc512", 16, "pallas", 2, qc=512),
+                cfg("pallas2_np16_qc512_u384", 16, "pallas", 2,
+                    qc=512, ucap=384),
+                cfg("pallas2_np16_u192", 16, "pallas", 2, ucap=192),
+            ] if platform == "tpu" else [cfg("xla_np16", 16, "xla", 1)]
+
+            def make_single(nprobe, ucap, qc, backend, pv):
+                def single(q, cent, cent_sq, codes, scales, sq, ids,
+                           shadow, *sp):
+                    sp = sp if sp else None
+                    return fused_ivf_search_math(
+                        q, cent, cent_sq, codes, scales, sq, ids, sp,
+                        shadow,
+                        k=K, nprobe=nprobe, window=window, metric="L2",
+                        recall_target=idx.recall_target,
+                        union_cap=ucap, qc=qc,
+                        rerank_depth=idx.rerank_depth,
+                        union_mode=(
+                            "chunkmax" if idx.nlist > 2048 else "minrank"
+                        ),
+                        backend=backend, pallas_cap=idx.pallas_cap,
+                        pallas_variant=pv,
+                    )
+                return jax.jit(single)
+
             sweep = {}
             best = None
-            for nprobe in (16, 24):
-                ucap = default_union_cap(idx.nlist, nprobe)
-                qc = pick_query_chunk(nprobe, window, DIM,
-                                      jnp.dtype(idx.dtype).itemsize,
-                                      Q_BATCH, union_cap=ucap)
-                for backend, pv in backends:
-                    idx.backend = backend
-                    idx.pallas_variant = pv
-                    _, pred = idx.search(qstack32[0][:RECALL_QUERIES], K,
-                                         nprobe=nprobe)
-                    pred = np.asarray(pred)
-                    hits = sum(len(set(p.tolist()) & set(t.tolist()))
-                               for p, t in zip(pred, truth))
-                    rec = hits / truth.size
-                    many = make_ivf(nprobe, ucap, qc, backend, pv)
-                    args = fused_args + (spill if spill is not None else ())
-                    per, _, reps_used, resolved = timed(many, qstack32, *args)
-                    qps = Q_BATCH / per
-                    # union-block reads per batch (codes + sq + ids), the
-                    # HBM floor of the fused path
-                    n_qc = -(-Q_BATCH // qc)
-                    bpb = n_qc * ucap * window * (DIM * 2 + 8)
-                    roof = HBM_BYTES_PER_S_BOUND / bpb * Q_BATCH
-                    tag = backend if pv == 1 else f"{backend}{pv}"
-                    sweep[f"{tag}_np{nprobe}"] = {
-                        "qps": round(qps, 1), "recall_at_10": round(rec, 4),
-                        "union_cap": ucap, "query_chunk": qc,
-                        "reps": reps_used, "resolved": resolved,
-                        "roofline_qps": round(roof, 1)}
-                    if (rec >= 0.99 and resolved and qps <= roof
-                            and (best is None or qps > best[1])):
-                        best = (nprobe, qps, rec, tag)
+            for c in cfgs:
+                nprobe = c["nprobe"]
+                ucap = c["ucap"] or default_union_cap(idx.nlist, nprobe)
+                qc = c["qc"] or pick_query_chunk(
+                    nprobe, window, DIM, jnp.dtype(idx.dtype).itemsize,
+                    Q_BATCH, union_cap=ucap)
+                args = fused_args + (spill if spill is not None else ())
+                single = make_single(nprobe, ucap, qc, c["backend"], c["pv"])
+                _, pred = single(qstack32[0][:RECALL_QUERIES], *args)
+                pred = np.asarray(pred)
+                hits = sum(len(set(p.tolist()) & set(t.tolist()))
+                           for p, t in zip(pred, truth))
+                rec = hits / truth.size
+                many = make_ivf(nprobe, ucap, qc, c["backend"], c["pv"])
+                per, _, reps_used, resolved = timed(many, qstack32, *args)
+                qps = Q_BATCH / per
+                # union-block reads per batch (codes + sq + ids), the
+                # HBM floor of the fused path
+                n_qc = -(-Q_BATCH // qc)
+                bpb = n_qc * ucap * window * (DIM * 2 + 8)
+                roof = HBM_BYTES_PER_S_BOUND / bpb * Q_BATCH
+                sweep[c["tag"]] = {
+                    "qps": round(qps, 1), "recall_at_10": round(rec, 4),
+                    "union_cap": ucap, "query_chunk": qc,
+                    "reps": reps_used, "resolved": resolved,
+                    "roofline_qps": round(roof, 1)}
+                if (rec >= 0.99 and resolved and qps <= roof
+                        and (best is None or qps > best[1])):
+                    best = (nprobe, qps, rec, c["tag"])
             ivf_extras["ivf_sweep"] = sweep
             ivf_extras["ivf_window"] = window
             ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)
             if best is not None:
-                key = f"{best[3]}_np{best[0]}"
                 results["ivf"] = {"qps": best[1], "batch_ms": Q_BATCH / best[1] * 1e3,
                                   "rtt_ms": 0.0, "resolved": True,
-                                  "roofline_qps": sweep[key]["roofline_qps"]}
+                                  "roofline_qps": sweep[best[3]]["roofline_qps"]}
                 recalls["ivf"] = best[2]
                 ivf_extras["ivf_best"] = {"nprobe": best[0],
-                                          "backend": best[3]}
+                                          "config": best[3]}
         except Exception as e:
             print(f"# ivf variant failed: {type(e).__name__}: {e}")
 

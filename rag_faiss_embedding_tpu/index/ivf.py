@@ -174,7 +174,7 @@ class IVFFlatIndex:
         union_mode: str = "auto",
         backend: str = "auto",
         pallas_cap: int = 2,
-        pallas_variant: int = 1,
+        pallas_variant: int = 2,
         pq_m: Optional[int] = None,
         pq_ksub: int = 256,
         pq_compute: str = "bf16",

@@ -100,6 +100,7 @@ def _build_sharded_fused(
     union_mode: str = "minrank", metric: str = "L2",
     backend: str = "xla", interpret: bool = False,
     has_filter: bool = False, has_pq: bool = False, has_pq_w: bool = False,
+    pallas_variant: int = 2,
 ):
     n_tiers = has_spill + has_pending
 
@@ -116,6 +117,7 @@ def _build_sharded_fused(
             recall_target=recall_target, union_cap=union_cap, qc=qc,
             union_mode=union_mode,
             backend=backend, interpret=interpret,
+            pallas_variant=pallas_variant,
         )
         parts = [(vals, gids)]
         while rest:
