@@ -511,7 +511,9 @@ def main() -> None:
                 ivf_extras["ivf_best"] = {"nprobe": best[0],
                                           "config": best[3]}
         except Exception as e:
+            import traceback
             print(f"# ivf variant failed: {type(e).__name__}: {e}")
+            traceback.print_exc()
 
     # winner: fastest path meeting the recall gate AND the honesty gates —
     # the timing must be RTT-resolved and physically below the HBM roofline
