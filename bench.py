@@ -348,6 +348,16 @@ def main() -> None:
     except Exception as e:
         print(f"# library-class recall guard failed: {type(e).__name__}: {e}")
 
+    # free the flat-path device arrays before the IVF sweep: the bf16/int8
+    # copies + scales total ~1.5 GB of ballast the sweep never touches, and
+    # the r04 sweep's first timed run died twice in a row with a TPU
+    # INVALID_ARGUMENT in the full-bench process while isolated repros with
+    # a lean heap passed — keep the headline section's HBM headroom maximal
+    mem = (jax.local_devices()[0].memory_stats() or {})
+    print(f"# hbm in use before ivf sweep: "
+          f"{mem.get('bytes_in_use', 0)/1e9:.2f} GB", flush=True)
+    del singles, variant_args, db_flat16, db_c, db_i8_flat, db_scales, qstack
+
     # ------------------------------------------------------------- IVF tier
     # The fused batched kernel (ops/ivf_scan.py) IS the shipped
     # IVFFlatIndex.search path; the bench wraps fused_ivf_search_math in the
