@@ -267,8 +267,12 @@ def main() -> None:
                                     axis=0)[:new_reps]
             reps = new_reps
 
-    variants = ("approx", "int8_rerank") if os.environ.get("RFE_BENCH_FAST") else (
-        "approx", "int8_approx", "int8_rerank", "exact")
+    if os.environ.get("RFE_BENCH_IVF_ONLY"):
+        variants = ()       # debug: isolate the IVF sweep from the flat paths
+    elif os.environ.get("RFE_BENCH_FAST"):
+        variants = ("approx", "int8_rerank")
+    else:
+        variants = ("approx", "int8_approx", "int8_rerank", "exact")
     results = {}
     singles = {}
     variant_args = {}
@@ -296,7 +300,7 @@ def main() -> None:
             singles[variant] = single
         except Exception as e:  # one broken variant must not kill the bench
             print(f"# variant {variant} failed: {type(e).__name__}: {e}")
-    if not results:
+    if not results and not os.environ.get("RFE_BENCH_IVF_ONLY"):
         raise SystemExit("all benchmark variants failed")
 
     # recall@10 vs float32 exact oracle on a query subsample
@@ -331,6 +335,8 @@ def main() -> None:
     # bench/library divergence.
     library_class_recall = None
     try:
+        if os.environ.get("RFE_BENCH_IVF_ONLY"):
+            raise RuntimeError("skipped: RFE_BENCH_IVF_ONLY")
         from rag_faiss_embedding_tpu.index import FlatIndex
 
         fidx = FlatIndex(DIM, dtype="int8", selector="rerank",
