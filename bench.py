@@ -156,8 +156,100 @@ def _scan_factory(variant: str):
     return many, single
 
 
+def _orchestrate() -> None:
+    """Run the flat paths and the IVF sweep in SEPARATE processes and merge.
+
+    r04 evidence: the Pallas IVF sweep died twice with a TPU
+    INVALID_ARGUMENT when run in the same process as the flat-path timing
+    (dozens of compiled programs + a churned heap), while identical
+    isolated runs passed. A fresh TPU client per stage is the only
+    arrangement observed to be reliable, and it also respects the
+    one-TPU-process rule (stages run strictly sequentially). Each stage
+    regenerates the identical on-device dataset (same PRNG key), so the
+    recall oracles agree across stages.
+    """
+    import os
+    import subprocess
+    import sys
+
+    stage_out = {}
+    for stage, flag in (("flat", "RFE_BENCH_NO_IVF"),
+                        ("ivf", "RFE_BENCH_IVF_ONLY")):
+        env = dict(os.environ)
+        env[flag] = "1"
+        env["RFE_BENCH_STAGE"] = stage
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, text=True, env=env)
+        parsed = None
+        for ln in proc.stdout.splitlines():
+            if ln.startswith("{"):
+                try:
+                    parsed = json.loads(ln)
+                except json.JSONDecodeError:
+                    pass
+            else:
+                print(f"# [{stage}] {ln.lstrip('# ')}", flush=True)
+        if parsed is None:
+            print(f"# stage {stage} produced no JSON (rc={proc.returncode})",
+                  flush=True)
+        stage_out[stage] = parsed
+    flat, ivf = stage_out.get("flat"), stage_out.get("ivf")
+    if flat is None and ivf is None:
+        raise SystemExit("both bench stages failed")
+    base = flat or ivf
+    all_paths = {}
+    for src in (flat, ivf):
+        if src:
+            all_paths.update(src.get("all_paths", {}))
+
+    def _honest(r):
+        roof = r.get("roofline_qps")
+        return r.get("resolved", True) and (roof is None or r["qps"] <= roof)
+
+    eligible = {v: r for v, r in all_paths.items()
+                if r.get("recall_at_10", 0.0) >= 0.99 and _honest(r)}
+    pool = (eligible or
+            {v: r for v, r in all_paths.items() if _honest(r)} or all_paths)
+    winner = max(pool, key=lambda v: pool[v]["qps"])
+    win = all_paths[winner]
+    qb = base.get("q_batch", Q_BATCH)
+    out = dict(base)
+    out.update({
+        "value": round(win["qps"], 1),
+        "vs_baseline": round(win["qps"] / NORTH_STAR_QPS, 4),
+        "recall_at_10_vs_fp32_exact": win.get("recall_at_10"),
+        "winner": winner,
+        "batch_latency_ms": round(qb / win["qps"] * 1e3, 3),
+        "timing_resolved": bool(win.get("resolved", True)),
+        "all_paths": all_paths,
+        "staged": True,
+    })
+    out.pop("timing_reps", None)
+    if ivf:
+        for k in ("index_build_vectors_per_s", "index_build_vectors_per_s_cold",
+                  "index_build_s", "ivf_sweep", "ivf_window",
+                  "ivf_spill_rows", "ivf_best"):
+            if k in ivf:
+                out[k] = ivf[k]
+    print(json.dumps(out))
+
+
 def main() -> None:
     import os as _os
+
+    # Default on the real bench: split flat paths and the IVF sweep into
+    # two fresh TPU processes (see _orchestrate). Dev/CPU/partial modes
+    # run single-process as before.
+    if _os.environ.get("RFE_BENCH_STAGE") is None and (
+            _os.environ.get("RFE_BENCH_FORCE_SPLIT")
+            or (not _os.environ.get("RFE_BENCH_NO_SPLIT")
+                and not _os.environ.get("RFE_BENCH_IVF_ONLY")
+                and not _os.environ.get("RFE_BENCH_NO_IVF")
+                and not _os.environ.get("RFE_BENCH_FAST")
+                and not _os.environ.get("RFE_BENCH_CPU")
+                and _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu")):
+        return _orchestrate()
 
     import jax
 
@@ -268,6 +360,17 @@ def main() -> None:
                           f"({type(e).__name__}); keeping {prev[2]}-rep "
                           f"lower bound", flush=True)
                     return prev
+                if PIPE > 1:
+                    # r04 lore: queueing a second execution of a Pallas
+                    # program before the first is consumed can die with a
+                    # TPU INVALID_ARGUMENT on the axon backend (the flat
+                    # XLA programs pipeline fine). Retry this scan length
+                    # with fully blocking single-execution regions.
+                    print(f"# timed: {reps}-rep PIPE={PIPE} region failed "
+                          f"({type(e).__name__}); retrying sequential",
+                          flush=True)
+                    PIPE = 1
+                    continue
                 raise
             # resolved when the WORK part both dominates the RTT and is
             # large in absolute terms (RTT jitter between trivial
@@ -276,13 +379,17 @@ def main() -> None:
             nb = reps * PIPE      # batches per timed region
             if best - rtt > max(rtt, 0.030):
                 return (best - rtt) / nb, rtt, reps, True
-            if reps >= MAX_REPS:
+            # in sequential mode, ≥128-rep scans of a Pallas program die
+            # deterministically on their second execution (r04
+            # /tmp/repro_esc); 64 is the proven-safe scan-length ceiling
+            ceiling = MAX_REPS if PIPE > 1 else 64
+            if reps >= ceiling:
                 # still RTT-dominated at the ceiling: report a LOWER BOUND
                 # on latency (never a fictitious upper bound) and mark it
                 per = max(best - rtt, 0.5 * rtt) / nb
                 return per, rtt, reps, False
             prev = (max(best - rtt, 0.5 * rtt) / nb, rtt, reps, False)
-            new_reps = min(MAX_REPS, reps * 4)
+            new_reps = min(ceiling, reps * 4)
             stack = jnp.concatenate([stack] * ((new_reps + reps - 1) // reps),
                                     axis=0)[:new_reps]
             reps = new_reps
@@ -508,34 +615,46 @@ def main() -> None:
             sweep = {}
             best = None
             for c in cfgs:
-                nprobe = c["nprobe"]
-                ucap = c["ucap"] or default_union_cap(idx.nlist, nprobe)
-                qc = c["qc"] or pick_query_chunk(
-                    nprobe, window, DIM, jnp.dtype(idx.dtype).itemsize,
-                    Q_BATCH, union_cap=ucap)
-                args = fused_args + (spill if spill is not None else ())
-                single = make_single(nprobe, ucap, qc, c["backend"], c["pv"])
-                _, pred = single(qstack32[0][:RECALL_QUERIES], *args)
-                pred = np.asarray(pred)
-                hits = sum(len(set(p.tolist()) & set(t.tolist()))
-                           for p, t in zip(pred, truth))
-                rec = hits / truth.size
-                many = make_ivf(nprobe, ucap, qc, c["backend"], c["pv"])
-                per, _, reps_used, resolved = timed(many, qstack32, *args)
-                qps = Q_BATCH / per
-                # union-block reads per batch (codes + sq + ids), the
-                # HBM floor of the fused path
-                n_qc = -(-Q_BATCH // qc)
-                bpb = n_qc * ucap * window * (DIM * 2 + 8)
-                roof = HBM_BYTES_PER_S_BOUND / bpb * Q_BATCH
-                sweep[c["tag"]] = {
-                    "qps": round(qps, 1), "recall_at_10": round(rec, 4),
-                    "union_cap": ucap, "query_chunk": qc,
-                    "reps": reps_used, "resolved": resolved,
-                    "roofline_qps": round(roof, 1)}
-                if (rec >= 0.99 and resolved and qps <= roof
-                        and (best is None or qps > best[1])):
-                    best = (nprobe, qps, rec, c["tag"])
+                # one crashing config must not lose the sweep (r04: a TPU
+                # INVALID_ARGUMENT in the first cfg's timed run erased all
+                # IVF results from the official artifact)
+                try:
+                    nprobe = c["nprobe"]
+                    ucap = c["ucap"] or default_union_cap(idx.nlist, nprobe)
+                    qc = c["qc"] or pick_query_chunk(
+                        nprobe, window, DIM, jnp.dtype(idx.dtype).itemsize,
+                        Q_BATCH, union_cap=ucap)
+                    args = fused_args + (spill if spill is not None else ())
+                    single = make_single(nprobe, ucap, qc, c["backend"],
+                                         c["pv"])
+                    _, pred = single(qstack32[0][:RECALL_QUERIES], *args)
+                    pred = np.asarray(pred)
+                    hits = sum(len(set(p.tolist()) & set(t.tolist()))
+                               for p, t in zip(pred, truth))
+                    rec = hits / truth.size
+                    many = make_ivf(nprobe, ucap, qc, c["backend"], c["pv"])
+                    per, _, reps_used, resolved = timed(many, qstack32,
+                                                        *args)
+                    qps = Q_BATCH / per
+                    # union-block reads per batch (codes + sq + ids), the
+                    # HBM floor of the fused path
+                    n_qc = -(-Q_BATCH // qc)
+                    bpb = n_qc * ucap * window * (DIM * 2 + 8)
+                    roof = HBM_BYTES_PER_S_BOUND / bpb * Q_BATCH
+                    sweep[c["tag"]] = {
+                        "qps": round(qps, 1), "recall_at_10": round(rec, 4),
+                        "union_cap": ucap, "query_chunk": qc,
+                        "reps": reps_used, "resolved": resolved,
+                        "roofline_qps": round(roof, 1)}
+                    if (rec >= 0.99 and resolved and qps <= roof
+                            and (best is None or qps > best[1])):
+                        best = (nprobe, qps, rec, c["tag"])
+                except Exception as e:
+                    import traceback
+                    print(f"# ivf cfg {c['tag']} failed: "
+                          f"{type(e).__name__}: {e}", flush=True)
+                    traceback.print_exc()
+                    sweep[c["tag"]] = {"error": f"{type(e).__name__}: {e}"}
             ivf_extras["ivf_sweep"] = sweep
             ivf_extras["ivf_window"] = window
             ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)
@@ -563,6 +682,16 @@ def main() -> None:
                 if recalls[v] >= 0.99 and _honest(r)}
     pool = eligible or {v: r for v, r in results.items() if _honest(r)}
     pool = pool or results
+    if not pool:
+        # IVF-only stage where no config passed the gates: still emit the
+        # sweep diagnostics so the orchestrator can merge/record them
+        print(json.dumps({
+            "metric": f"top{K}_qps_1chip_{n_db/1e6:g}M_x_{DIM}d_recall99",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+            "winner": None, "q_batch": Q_BATCH, "n_db": n_db,
+            "platform": platform, "all_paths": {}, **ivf_extras,
+        }))
+        return
     winner = max(pool, key=lambda v: pool[v]["qps"])
     win = results[winner]
 

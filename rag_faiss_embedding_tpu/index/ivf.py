@@ -525,6 +525,36 @@ class IVFFlatIndex:
             )
         return self._pq_cb_store
 
+    def _rescue_exhausted(
+        self,
+        vecs_f32: jax.Array,
+        spill_rows: np.ndarray,
+        assign_np: np.ndarray,
+        cap: int,
+    ) -> np.ndarray:
+        """Place rows that exhausted every greedy choice into the nearest
+        list with remaining capacity (host greedy over a tiny (S, nlist)
+        distance matrix computed on device). Mutates and returns
+        ``assign_np``; rows stay -1 only if every list is full (impossible
+        while cap * nlist >= n)."""
+        rem = cap - np.bincount(
+            assign_np[assign_np >= 0], minlength=self.nlist
+        )
+        sub = vecs_f32[jnp.asarray(spill_rows)]
+        dots = sub @ self.centroids.T
+        if self.metric == "IP":
+            d = -dots
+        else:
+            d = jnp.sum(self.centroids ** 2, axis=-1)[None, :] - 2.0 * dots
+        d = np.asarray(jax.device_get(d))
+        for i, r in enumerate(spill_rows):
+            for lst in np.argsort(d[i]):
+                if rem[lst] > 0:
+                    assign_np[r] = int(lst)
+                    rem[lst] -= 1
+                    break
+        return assign_np
+
     def _reassign_cap(self, mean_len: float) -> int:
         """Capacity per list for balance='reassign': ``cap_factor`` x the
         mean length (rounded to 128). 2x keeps total capacity ~2x N, so the
@@ -577,10 +607,21 @@ class IVFFlatIndex:
                 choices_np, pref, nlist, cap
             )
             if len(spill_rows):
+                # Rescue pass (VERDICT r03 #9: the r03 headline build left
+                # 38 rows spilled): total capacity is cap_factor*N, so a
+                # placement always exists — give each exhausted row the
+                # nearest list that still has room instead of spilling it
+                # to the pending tier. 38/1M rows is recall-invisible, but
+                # zero spill removes the pending-tier exact scan from EVERY
+                # query's hot path.
+                assign_np = self._rescue_exhausted(
+                    vecs_f32, spill_rows, assign_np, cap)
+                still = spill_rows[assign_np[spill_rows] < 0]
                 logger.info(
                     "balanced build: %d rows exhausted %d choices (cap %d); "
-                    "spilled to the exact tier",
+                    "rescued %d into open lists, %d spilled",
                     len(spill_rows), self.reassign_choices, cap,
+                    len(spill_rows) - len(still), len(still),
                 )
             # rows that exhausted every choice -> sentinel list (spill)
             assignments = jnp.asarray(
