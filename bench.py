@@ -312,7 +312,7 @@ def main() -> None:
 
     db_flat16 = db_c.reshape(n_db, DIM)
     db_sq = sq_c.reshape(-1)
-    def timed(fn, qstack_in, *args):
+    def timed(fn, qstack_in, *args, max_scan=None):
         """Median-of-3 trivial-dispatch RTT, fastest-of-3 PIPELINED timed
         regions — single-shot timing at <5 ms/batch is swamped by tunnel
         RTT jitter (one sweep measured 0.0 ms for a 2.7 ms batch).
@@ -379,10 +379,14 @@ def main() -> None:
             nb = reps * PIPE      # batches per timed region
             if best - rtt > max(rtt, 0.030):
                 return (best - rtt) / nb, rtt, reps, True
-            # in sequential mode, ≥128-rep scans of a Pallas program die
-            # deterministically on their second execution (r04
-            # /tmp/repro_esc); 64 is the proven-safe scan-length ceiling
-            ceiling = MAX_REPS if PIPE > 1 else 64
+            # ≥128-rep scans of a Pallas program die deterministically on
+            # their second execution (r04 /tmp/repro_esc) and the crash
+            # poisons the whole client; 64 is the proven-safe scan-length
+            # ceiling — applied whenever the caller flags a Pallas program
+            # (max_scan) and always in sequential-fallback mode
+            ceiling = max_scan if max_scan else (
+                MAX_REPS if PIPE > 1 else 64)
+            ceiling = min(ceiling, MAX_REPS if PIPE > 1 else 64)
             if reps >= ceiling:
                 # still RTT-dominated at the ceiling: report a LOWER BOUND
                 # on latency (never a fictitious upper bound) and mark it
@@ -582,15 +586,21 @@ def main() -> None:
                 return dict(tag=tag, nprobe=nprobe, backend=backend, pv=pv,
                             qc=qc, ucap=ucap)
 
+            # ORDER MATTERS: the first TPU INVALID_ARGUMENT poisons the
+            # whole client process (r04: after one v2-kernel crash, even a
+            # trivial device slice failed), so sweep most-reliable first —
+            # XLA, then the r03-proven v1 kernel + its DMA levers, and the
+            # v2 kernel (dies on its first scan-wrapped execution on the
+            # axon backend; never yet produced a timed number) dead last.
             cfgs = [
-                cfg("pallas2_np16", 16, "pallas", 2),
-                cfg("pallas_np16", 16, "pallas", 1),
                 cfg("xla_np16", 16, "xla", 1),
-                cfg("pallas2_np24", 24, "pallas", 2),
+                cfg("pallas_np16", 16, "pallas", 1),
+                cfg("pallas_np12", 12, "pallas", 1),
+                cfg("pallas_np16_qc512", 16, "pallas", 1, qc=512),
+                cfg("pallas_np16_u192", 16, "pallas", 1, ucap=192),
+                cfg("pallas_np24", 24, "pallas", 1),
+                cfg("pallas2_np16", 16, "pallas", 2),
                 cfg("pallas2_np16_qc512", 16, "pallas", 2, qc=512),
-                cfg("pallas2_np16_qc512_u384", 16, "pallas", 2,
-                    qc=512, ucap=384),
-                cfg("pallas2_np16_u192", 16, "pallas", 2, ucap=192),
             ] if platform == "tpu" else [cfg("xla_np16", 16, "xla", 1)]
 
             def make_single(nprobe, ucap, qc, backend, pv):
@@ -633,8 +643,9 @@ def main() -> None:
                                for p, t in zip(pred, truth))
                     rec = hits / truth.size
                     many = make_ivf(nprobe, ucap, qc, c["backend"], c["pv"])
-                    per, _, reps_used, resolved = timed(many, qstack32,
-                                                        *args)
+                    per, _, reps_used, resolved = timed(
+                        many, qstack32, *args,
+                        max_scan=64 if c["backend"] == "pallas" else None)
                     qps = Q_BATCH / per
                     # union-block reads per batch (codes + sq + ids), the
                     # HBM floor of the fused path
@@ -655,6 +666,16 @@ def main() -> None:
                           f"{type(e).__name__}: {e}", flush=True)
                     traceback.print_exc()
                     sweep[c["tag"]] = {"error": f"{type(e).__name__}: {e}"}
+                    # a TPU INVALID_ARGUMENT poisons the client process —
+                    # verify it still executes anything at all, else stop
+                    # burning time on configs that can only fail
+                    try:
+                        float(trivial(sq_c))
+                    except Exception:
+                        print("# device client poisoned; abandoning the "
+                              "remaining sweep configs", flush=True)
+                        sweep["_client_poisoned_after"] = c["tag"]
+                        break
             ivf_extras["ivf_sweep"] = sweep
             ivf_extras["ivf_window"] = window
             ivf_extras["ivf_spill_rows"] = int(idx._pending.ntotal)
