@@ -19,7 +19,8 @@ Honesty protocol (docs/PERF.md): >=1024 queries timed through the SHIPPED
 median-of-3 RTT subtraction, fastest-of-3 runs; ground truth is a float32
 exact scan over the full corpus (chunk-streamed, same generator).
 
-Writes SCALE_r03.json and prints one JSON line per nprobe.
+Writes SCALE_r04.json (override with --out) and prints one JSON line per
+nprobe; --rows-m 100 --no-refine is the 100M codes-only capacity run.
 
 Usage: python -m benchmarks.scale10m [--small]
 """
