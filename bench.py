@@ -189,7 +189,8 @@ def _orchestrate() -> None:
                 except json.JSONDecodeError:
                     pass
             else:
-                print(f"# [{stage}] {ln.lstrip('# ')}", flush=True)
+                relay = ln[2:] if ln.startswith("# ") else ln
+                print(f"# [{stage}] {relay}", flush=True)
         if parsed is None:
             print(f"# stage {stage} produced no JSON (rc={proc.returncode})",
                   flush=True)
@@ -202,6 +203,13 @@ def _orchestrate() -> None:
     for src in (flat, ivf):
         if src:
             all_paths.update(src.get("all_paths", {}))
+    if not all_paths:
+        # e.g. the flat stage died without JSON and the IVF stage emitted
+        # only its zero-pool diagnostic — still ship the sweep diagnostics
+        out = dict(base)
+        out.update({"all_paths": {}, "staged": True})
+        print(json.dumps(out))
+        return
 
     def _honest(r):
         roof = r.get("roofline_qps")
@@ -382,11 +390,11 @@ def main() -> None:
             # ≥128-rep scans of a Pallas program die deterministically on
             # their second execution (r04 /tmp/repro_esc) and the crash
             # poisons the whole client; 64 is the proven-safe scan-length
-            # ceiling — applied whenever the caller flags a Pallas program
-            # (max_scan) and always in sequential-fallback mode
-            ceiling = max_scan if max_scan else (
-                MAX_REPS if PIPE > 1 else 64)
-            ceiling = min(ceiling, MAX_REPS if PIPE > 1 else 64)
+            # ceiling for PALLAS programs (the caller flags them via
+            # max_scan). XLA programs pipeline and scan fine at any length
+            # (r04 evidence), so they keep the full escalation ceiling even
+            # in sequential-fallback mode.
+            ceiling = min(max_scan, 64) if max_scan else MAX_REPS
             if reps >= ceiling:
                 # still RTT-dominated at the ceiling: report a LOWER BOUND
                 # on latency (never a fictitious upper bound) and mark it
@@ -535,12 +543,26 @@ def main() -> None:
                                 train_iters=10, balance="reassign")
             idx2.build(db_c32.reshape(n_db, DIM))
             warm_s = time.perf_counter() - t0
+            warm_stats = dict(idx2.build_stats)
             del idx2
             ivf_extras["index_build_vectors_per_s"] = round(n_db / warm_s, 1)
             ivf_extras["index_build_vectors_per_s_cold"] = round(
                 n_db / build_s, 1)
             ivf_extras["index_build_s"] = {"cold": round(build_s, 1),
                                            "warm": round(warm_s, 1)}
+            # stage decomposition (VERDICT r04 #5: the r04 artifact lost
+            # it, making the 331->690 s cold regression unattributable)
+            def _stages(stats):
+                out = {k: round(v, 2) for k, v in stats.items()
+                       if isinstance(v, (int, float))}
+                if isinstance(stats.get("train"), dict):
+                    out["train_stages"] = {
+                        k: round(v, 2) if isinstance(v, float) else v
+                        for k, v in stats["train"].items()}
+                return out
+            ivf_extras["index_build_stages_s"] = {
+                "cold": _stages(idx.build_stats),
+                "warm": _stages(warm_stats)}
             window = idx._window
             spill = idx._pending_dev() if idx._pending.ntotal else None
             fused_args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
@@ -562,9 +584,7 @@ def main() -> None:
                             recall_target=idx.recall_target,
                             union_cap=ucap, qc=qc,
                             rerank_depth=idx.rerank_depth,
-                            union_mode=(
-                                "chunkmax" if idx.nlist > 2048 else "minrank"
-                            ),
+                            union_mode=idx._resolved_union_mode(),
                             backend=backend, pallas_cap=idx.pallas_cap,
                             pallas_variant=pv,
                         )
@@ -586,22 +606,44 @@ def main() -> None:
                 return dict(tag=tag, nprobe=nprobe, backend=backend, pv=pv,
                             qc=qc, ucap=ucap)
 
+            # The SHIP-WHAT-YOU-BENCH config (VERDICT r04 #8): exactly what
+            # a defaults call to idx.search dispatches — resolved through
+            # the same resolve_fused_dispatch the class uses, no sweep
+            # overrides. Its QPS/recall is recorded as library_default_*
+            # whatever the winner is, so a defaults/sweep divergence (r04:
+            # the shipped default was a kernel the bench never timed) can
+            # never again hide behind a passing headline.
+            lib = idx.resolved_dispatch(nq=Q_BATCH, k=K)
+            ivf_extras["library_default_dispatch"] = {
+                k: v for k, v in lib.items()
+                if isinstance(v, (int, float, str, bool))}
+
             # ORDER MATTERS: the first TPU INVALID_ARGUMENT poisons the
             # whole client process (r04: after one v2-kernel crash, even a
             # trivial device slice failed), so sweep most-reliable first —
             # XLA, then the r03-proven v1 kernel + its DMA levers, and the
             # v2 kernel (dies on its first scan-wrapped execution on the
-            # axon backend; never yet produced a timed number) dead last.
+            # axon backend; never yet produced a timed number — now demoted
+            # to an experimental opt-in, kept here only as a one-slot
+            # does-it-still-crash probe) dead last. The known-recall-broken
+            # qc512 lever is gone: query_chunk_recall_safe(512, 256) is
+            # False, so the slot could never pass the gate (r04 weak #6).
             cfgs = [
                 cfg("xla_np16", 16, "xla", 1),
+                cfg("library_default", lib["nprobe"], lib["backend"],
+                    lib["pallas_variant"], qc=lib["qc"],
+                    ucap=lib["union_cap"]),
                 cfg("pallas_np16", 16, "pallas", 1),
                 cfg("pallas_np12", 12, "pallas", 1),
-                cfg("pallas_np16_qc512", 16, "pallas", 1, qc=512),
                 cfg("pallas_np16_u192", 16, "pallas", 1, ucap=192),
                 cfg("pallas_np24", 24, "pallas", 1),
                 cfg("pallas2_np16", 16, "pallas", 2),
-                cfg("pallas2_np16_qc512", 16, "pallas", 2, qc=512),
-            ] if platform == "tpu" else [cfg("xla_np16", 16, "xla", 1)]
+            ] if platform == "tpu" else [
+                cfg("xla_np16", 16, "xla", 1),
+                cfg("library_default", lib["nprobe"], lib["backend"],
+                    lib["pallas_variant"], qc=lib["qc"],
+                    ucap=lib["union_cap"]),
+            ]
 
             def make_single(nprobe, ucap, qc, backend, pv):
                 def single(q, cent, cent_sq, codes, scales, sq, ids,
@@ -614,9 +656,7 @@ def main() -> None:
                         recall_target=idx.recall_target,
                         union_cap=ucap, qc=qc,
                         rerank_depth=idx.rerank_depth,
-                        union_mode=(
-                            "chunkmax" if idx.nlist > 2048 else "minrank"
-                        ),
+                        union_mode=idx._resolved_union_mode(),
                         backend=backend, pallas_cap=idx.pallas_cap,
                         pallas_variant=pv,
                     )

@@ -174,7 +174,7 @@ class IVFFlatIndex:
         union_mode: str = "auto",
         backend: str = "auto",
         pallas_cap: int = 2,
-        pallas_variant: int = 2,
+        pallas_variant: int = 1,
         pq_m: Optional[int] = None,
         pq_ksub: int = 256,
         pq_compute: str = "bf16",
@@ -264,6 +264,9 @@ class IVFFlatIndex:
         self._n_streamed = 0
         self._next_id = 0
         self.rebuild_threshold = 0.25  # rebuild when STREAMED > 25% of built
+        self.rescue_rank_limit = 64  # rescue pass: farthest centroid rank a
+        #                              row may be relocated to before it
+        #                              falls back to the exact pending tier
         self.window_quantile = 0.98  # cap probe window at this list-length
         #                              quantile; longer lists spill overflow
         self.use_fused = True  # per-query windowed path kept as fallback
@@ -330,6 +333,14 @@ class IVFFlatIndex:
             raise ValueError(f"bad backend {backend!r}")
         self.backend = backend
         self.pallas_cap = int(pallas_cap)
+        # Pallas union-scan kernel variant. 1 (default) is the r03-proven
+        # kernel behind every resolved BENCH headline. 2 (premasked-sqnorm
+        # aux carrier, in-kernel top-k) is EXPERIMENTAL: it passes CPU
+        # interpret-mode parity tests but has never produced a timed number
+        # on the real TPU backend — its first scan-wrapped execution dies
+        # with a Mosaic INVALID_ARGUMENT and poisons the client process
+        # (BENCH_r04 ivf_sweep["pallas2_np16"]). Ship what you bench:
+        # opt into 2 only on hardware where you have verified it runs.
         self.pallas_variant = int(pallas_variant)
         # stage timings of the last train/build (profiling; see
         # benchmarks/build_profile.py)
@@ -535,8 +546,11 @@ class IVFFlatIndex:
         """Place rows that exhausted every greedy choice into the nearest
         list with remaining capacity (host greedy over a tiny (S, nlist)
         distance matrix computed on device). Mutates and returns
-        ``assign_np``; rows stay -1 only if every list is full (impossible
-        while cap * nlist >= n)."""
+        ``assign_np``. A row whose nearest OPEN list sits beyond
+        ``rescue_rank_limit`` in its sorted centroid order stays -1 and
+        falls back to the pending tier's exact scan — a rescue into a list
+        no realistic nprobe probe set reaches would make the row silently
+        unfindable (ADVICE r04)."""
         rem = cap - np.bincount(
             assign_np[assign_np >= 0], minlength=self.nlist
         )
@@ -547,12 +561,23 @@ class IVFFlatIndex:
         else:
             d = jnp.sum(self.centroids ** 2, axis=-1)[None, :] - 2.0 * dots
         d = np.asarray(jax.device_get(d))
+        max_rank = 0
+        limit = min(self.rescue_rank_limit, self.nlist)
         for i, r in enumerate(spill_rows):
-            for lst in np.argsort(d[i]):
+            order = np.argsort(d[i])[:limit]
+            for rank, lst in enumerate(order):
                 if rem[lst] > 0:
                     assign_np[r] = int(lst)
                     rem[lst] -= 1
+                    max_rank = max(max_rank, rank)
                     break
+        # observability (ADVICE r04): a rescued row is only findable by
+        # queries whose nprobe probe set reaches its (possibly distant)
+        # list — record how many rows were rescued and how far the worst
+        # one moved, so the bench artifact / build logs can expose skew
+        # instead of silently reporting spill_rows=0.
+        self.build_stats["rescued_rows"] = int(len(spill_rows))
+        self.build_stats["rescue_max_centroid_rank"] = int(max_rank)
         return assign_np
 
     def _reassign_cap(self, mean_len: float) -> int:
@@ -1151,14 +1176,58 @@ class IVFFlatIndex:
                 recall_target=self.recall_target,
                 union_cap=self.union_cap, rerank_depth=self.rerank_depth,
                 qc=self.query_chunk,
-                union_mode=(
-                    "chunkmax" if self.union_mode == "auto"
-                    else self.union_mode
-                ),
+                union_mode=self._resolved_union_mode(),
                 backend=backend, pallas_cap=self.pallas_cap,
                 pallas_variant=self.pallas_variant,
             )
         return self._search_windowed(q, k, nprobe, filt=filt)
+
+    def _resolved_union_mode(self) -> str:
+        """'auto' = chunk-aggregate list ranking past 2048 lists (the
+        large-nlist fast path), per-query min-rank guarantees below (same
+        rule as ShardedIVFIndex)."""
+        if self.union_mode != "auto":
+            return self.union_mode
+        return "chunkmax" if self.nlist > 2048 else "minrank"
+
+    def resolved_dispatch(self, nq: int, k: int = 10) -> dict:
+        """The exact fused-path dispatch a defaults call to ``search`` on
+        this built index will use: nprobe, union_cap, qc, backend,
+        interpret, union_mode, pallas_variant, rerank_depth, recall_target.
+
+        Shares ``ops.ivf_scan.resolve_fused_dispatch`` with
+        ``fused_ivf_search`` itself, so what the headline bench times as
+        ``library_default_*`` and what a library user gets cannot diverge
+        (VERDICT r04 #8); tests/test_ivf_dispatch.py asserts the match."""
+        from ..ops.ivf_scan import resolve_fused_dispatch
+
+        if self._sorted_vecs is None:
+            raise ValueError("resolved_dispatch needs a built index")
+        try:
+            platform = next(iter(self._sorted_vecs.devices())).platform
+        except Exception:
+            platform = jax.devices()[0].platform
+        backend = self.backend
+        if self.pq_m and backend == "pallas":
+            backend = "xla"
+        out = resolve_fused_dispatch(
+            nq=nq, dim=self.dim, nlist=self.nlist, window=self._window,
+            code_bytes=self.dtype.itemsize, quantized=self.quantized,
+            has_shadow=self._sorted_shadow is not None and not self.pq_m,
+            has_pq=bool(self.pq_m), has_filter=False,
+            nprobe=min(self.nprobe, self.nlist), union_cap=self.union_cap,
+            qc=self.query_chunk, backend=backend, platform=platform,
+        )
+        out.update({
+            "union_mode": self._resolved_union_mode(),
+            "pallas_variant": self.pallas_variant,
+            "pallas_cap": self.pallas_cap,
+            "rerank_depth": self.rerank_depth,
+            "recall_target": self.recall_target,
+            "window": self._window,
+            "k": k,
+        })
+        return out
 
     def _search_windowed(
         self, q: jax.Array, k: int, nprobe: int, filt=None

@@ -60,6 +60,7 @@ per-query path) -> 707k QPS @ recall@10 0.9907.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -79,6 +80,7 @@ _VMAP_BYTES_BUDGET = 768 << 20
 # coarse probing switches from exact top_k to PartialReduce above this
 _COARSE_APPROX_MIN_NLIST = 2048
 _RANK_INF = jnp.int32(1 << 30)
+logger = logging.getLogger(__name__)
 
 
 def default_union_cap(nlist: int, nprobe: int) -> int:
@@ -115,6 +117,92 @@ def pick_query_chunk(
             break
         qc //= 2
     return max(8, min(qc, max(8, n_queries)))
+
+
+def query_chunk_recall_safe(qc: int, union_cap: int) -> bool:
+    """Whether a (qc, union_cap) pair can structurally serve the chunk-union
+    recall contract. A chunk larger than its union starves queries of their
+    best lists — measured 0.9902 recall@10 at qc == union_cap == 256 vs
+    0.52 at qc=512/ucap=256 on 1M x 384 (BENCH_r04 ivf_sweep). Sweeps and
+    user overrides should refuse (or at least label) qc > union_cap."""
+    return qc <= union_cap
+
+
+def resolve_fused_dispatch(
+    *,
+    nq: int,
+    dim: int,
+    nlist: int,
+    window: int,
+    code_bytes: int,
+    quantized: bool,
+    has_shadow: bool,
+    has_pq: bool,
+    has_filter: bool,
+    nprobe: int,
+    union_cap: Optional[int] = None,
+    qc: Optional[int] = None,
+    backend: str = "auto",
+    platform: str = "tpu",
+) -> dict:
+    """Resolve the (nprobe, union_cap, qc, backend, interpret) a fused IVF
+    search will actually dispatch with, WITHOUT running it.
+
+    This is the single source of truth shared by ``fused_ivf_search`` (the
+    shipped class path) and the headline bench's ``library_default_*``
+    stanza — so a defaults/sweep divergence (a config the bench never
+    times) is structurally impossible (VERDICT r04 #8). Tests assert the
+    class dispatch matches this resolution (tests/test_ivf_dispatch.py).
+    """
+    nprobe = min(nprobe, nlist)
+    if union_cap is None:
+        union_cap = default_union_cap(nlist, nprobe)
+    if qc is None:
+        if has_pq:
+            # the PQ chunk stage segments its union internally (useg), so
+            # per-step memory is bounded regardless of qc — qc is set by
+            # the recall constraint alone (qc <= union_cap, cap 256; see
+            # pick_query_chunk's rationale)
+            qc = max(16, min(256, union_cap))
+        else:
+            qc = pick_query_chunk(
+                nprobe, window, dim, code_bytes, nq, union_cap=union_cap,
+            )
+    elif not query_chunk_recall_safe(qc, union_cap):
+        logger.warning(
+            "query chunk %d exceeds union_cap %d: the chunk union cannot "
+            "serve every query's probe lists and recall will collapse "
+            "(measured 0.52 at qc=2*ucap on 1M x 384)", qc, union_cap,
+        )
+    qc = min(qc, max(8, nq))
+    interpret = False
+    if (has_filter or has_pq) and backend == "auto":
+        backend = "xla"
+    if backend != "xla":
+        from .pallas_ivf import pallas_eligible
+
+        # small batches pad up to the kernel's minimum chunk (bf16 sublane
+        # tiling needs >= 16 query rows; replica padding costs nothing)
+        qc_pallas = max(qc, 16)
+        eligible = pallas_eligible(
+            platform=platform, quantized=quantized, window=window,
+            dim=dim, qc=qc_pallas, shadow=has_shadow or None,
+            interpret=backend == "pallas",
+        )
+        if eligible:
+            qc = qc_pallas
+        if backend == "pallas" and not eligible:
+            raise ValueError(
+                "pallas backend needs full-precision storage, no shadow, "
+                f"window/dim multiples of 128, qc >= 16 (got window={window} "
+                f"dim={dim} qc={qc} quantized={quantized})"
+            )
+        backend = "pallas" if eligible else "xla"
+        interpret = backend == "pallas" and platform != "tpu"
+    return {
+        "nprobe": nprobe, "union_cap": union_cap, "qc": qc,
+        "backend": backend, "interpret": interpret,
+    }
 
 
 def _pq_union_segments(u_n: int, window: int, m_bytes: int, d: int,
@@ -835,59 +923,27 @@ def fused_ivf_search(
     Returns (values, indices), (Nq, k)."""
     nq, dim = q.shape
     nlist = centroids.shape[0]
-    nprobe = min(nprobe, nlist)
-    if union_cap is None:
-        union_cap = default_union_cap(nlist, nprobe)
-    if qc is None:
-        if pq is not None:
-            # the PQ chunk stage segments its union internally (useg), so
-            # per-step memory is bounded regardless of qc — qc is set by
-            # the recall constraint alone (qc <= union_cap, cap 256; see
-            # pick_query_chunk's rationale)
-            qc = max(16, min(256, union_cap))
-        else:
-            qc = pick_query_chunk(
-                nprobe, window, dim, jnp.dtype(codes.dtype).itemsize, nq,
-                union_cap=union_cap,
-            )
-    qc = min(qc, max(8, nq))
-    interpret = False
+    # decide from where the index actually lives (a registered TPU
+    # plugin may own jax.devices() while the arrays are on CPU)
+    try:
+        platform = next(iter(codes.devices())).platform
+    except Exception:
+        platform = jax.devices()[0].platform
+    resolved = resolve_fused_dispatch(
+        nq=nq, dim=dim, nlist=nlist, window=window,
+        code_bytes=jnp.dtype(codes.dtype).itemsize,
+        quantized=scales is not None, has_shadow=shadow is not None,
+        has_pq=pq is not None, has_filter=filt is not None,
+        nprobe=nprobe, union_cap=union_cap, qc=qc, backend=backend,
+        platform=platform,
+    )
+    nprobe, union_cap, qc, backend, interpret = (
+        resolved["nprobe"], resolved["union_cap"], resolved["qc"],
+        resolved["backend"], resolved["interpret"],
+    )
     if pq_w is not None:
         # Pallas PQ decode: interpret mode off-TPU (tests)
-        try:
-            platform = next(iter(codes.devices())).platform
-        except Exception:
-            platform = jax.devices()[0].platform
         interpret = platform != "tpu"
-    if (filt is not None or pq is not None) and backend == "auto":
-        backend = "xla"
-    if backend != "xla":
-        from .pallas_ivf import pallas_eligible
-
-        # decide from where the index actually lives (a registered TPU
-        # plugin may own jax.devices() while the arrays are on CPU)
-        try:
-            platform = next(iter(codes.devices())).platform
-        except Exception:
-            platform = jax.devices()[0].platform
-        # small batches pad up to the kernel's minimum chunk (bf16 sublane
-        # tiling needs >= 16 query rows; replica padding costs nothing)
-        qc_pallas = max(qc, 16)
-        eligible = pallas_eligible(
-            platform=platform, quantized=scales is not None, window=window,
-            dim=dim, qc=qc_pallas, shadow=shadow,
-            interpret=backend == "pallas",
-        )
-        if eligible:
-            qc = qc_pallas
-        if backend == "pallas" and not eligible:
-            raise ValueError(
-                "pallas backend needs full-precision storage, no shadow, "
-                f"window/dim multiples of 128, qc >= 16 (got window={window} "
-                f"dim={dim} qc={qc} quantized={scales is not None})"
-            )
-        backend = "pallas" if eligible else "xla"
-        interpret = backend == "pallas" and platform != "tpu"
     # PQ union segmentation is part of the jit cache key (computed here,
     # outside the trace, so a changed step budget re-specializes)
     useg = _pq_union_segments(union_cap, window, codes.shape[1], dim,

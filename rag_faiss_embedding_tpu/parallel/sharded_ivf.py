@@ -100,7 +100,7 @@ def _build_sharded_fused(
     union_mode: str = "minrank", metric: str = "L2",
     backend: str = "xla", interpret: bool = False,
     has_filter: bool = False, has_pq: bool = False, has_pq_w: bool = False,
-    pallas_variant: int = 2,
+    pallas_variant: int = 1,
 ):
     n_tiers = has_spill + has_pending
 
