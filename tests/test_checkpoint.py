@@ -9,6 +9,7 @@ from rag_faiss_embedding_tpu.parallel.checkpoint import TrainCheckpointer
 from .test_parallel import SMALL, _fake_batch
 
 
+@pytest.mark.slow
 def test_train_checkpoint_roundtrip(tmp_path, rng):
     mesh = make_mesh({"data": 2, "model": 4})
     run_step, state = make_train_step(SMALL, mesh, learning_rate=1e-3)

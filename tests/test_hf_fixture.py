@@ -153,6 +153,7 @@ def test_generator_hf_backend_with_local_t5(tmp_path):
     assert auto.backend == "extractive"
 
 
+@pytest.mark.slow
 def test_real_weight_gate_flips_with_hub_cache(tmp_path, monkeypatch):
     """VERDICT r03 #10: the day the environment provides a real HF cache,
     parity evidence must be ONE command away. This dry-run proves the

@@ -121,6 +121,7 @@ def test_ivf_empty_and_k_padding(rng):
     assert np.asarray(ids).shape == (1, 50)
 
 
+@pytest.mark.slow
 def test_ivf_window_cap_spills_and_stays_exact(rng):
     """Skewed lists: the window cap spills overflow to the exact tier without
     losing any row (full probe still matches brute force)."""

@@ -102,6 +102,7 @@ def test_ivf_ip_int8_composes(rng):
     assert _recall(ids, ref_ids) >= 0.95
 
 
+@pytest.mark.slow
 def test_fused_int8_spill_and_streaming(rng):
     """Window cap spill + streamed adds both reachable through the fused
     kernel's in-jit spill scan (int8 pending tier)."""

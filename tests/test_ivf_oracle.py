@@ -10,6 +10,7 @@ algorithm family as ``faiss.IndexIVFFlat`` (quantizer top-nprobe + exact
 list scan), making the parity claim checkable instead of rhetorical.
 """
 
+import pytest
 import numpy as np
 
 from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
@@ -71,6 +72,7 @@ class NumpyIVF:
         return out
 
 
+@pytest.mark.slow
 def test_tpu_ivf_recall_meets_numpy_ivf_oracle(rng):
     """At equal nlist and equal nprobe on mixture data, the fused TPU tier's
     recall@10 must meet the independent oracle's (small slack for different
@@ -104,6 +106,7 @@ def test_tpu_ivf_recall_meets_numpy_ivf_oracle(rng):
     assert _recall(ids, truth) == 1.0
 
 
+@pytest.mark.slow
 def test_balanced_build_zero_spill_on_bench_distribution(rng):
     """Spill regression bound (VERDICT r03 #9: the r03 headline build
     spilled 38 rows at 1M/nlist=8192 where r02 spilled 0). Proportional

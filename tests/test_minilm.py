@@ -43,6 +43,7 @@ def test_forward_shape_and_determinism(params):
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_padding_invariance(params):
     """Pooled output must not depend on padding length (mask correctness)."""
     model = MiniLMEncoder(SMALL)
@@ -128,6 +129,7 @@ FULL = MiniLMConfig(
 )
 
 
+@pytest.mark.slow
 def test_parity_with_torch_bert_full_size():
     """fp32 golden at the REAL all-MiniLM-L6-v2 shape (30522 vocab, 384
     hidden, 6 layers, 12 heads): random-init torch BertModel state_dict ->

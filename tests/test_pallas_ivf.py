@@ -41,6 +41,7 @@ def _build(rng, metric="L2", dtype="float32", n_clusters=32, dim=128,
 @pytest.mark.parametrize("metric,dtype", [
     ("L2", "float32"), ("L2", "bfloat16"), ("IP", "float32"),
 ])
+@pytest.mark.slow
 def test_pallas_matches_xla_backend(rng, metric, dtype, variant):
     """Same built index, same parameters: the Pallas chunk stage returns the
     same neighbor ids as the XLA chunk stage (selection is effectively
@@ -64,6 +65,7 @@ def test_pallas_matches_xla_backend(rng, metric, dtype, variant):
     np.testing.assert_allclose(vp[live], vx[live], rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_full_probe_exact_f32(rng):
     """Full probe through the Pallas backend on fp32 storage: rank-exact
     against the float64 oracle (cap covers every within-bin candidate at

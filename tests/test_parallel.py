@@ -95,6 +95,7 @@ def _fake_batch(rng, n, seq):
     }
 
 
+@pytest.mark.slow
 def test_train_step_dp_tp(rng):
     """Full dp+tp train step on a 2x4 mesh: loss decreases on a fixed batch."""
     mesh = make_mesh({"data": 2, "model": 4})
@@ -122,6 +123,7 @@ def test_param_sharding_layout():
 
 # ---------------------------------------------------------------- sharded IVF
 
+@pytest.mark.slow
 def test_sharded_ivf_full_probe_is_exact(rng):
     from rag_faiss_embedding_tpu.parallel.sharded_ivf import ShardedIVFIndex
 
@@ -136,6 +138,7 @@ def test_sharded_ivf_full_probe_is_exact(rng):
     assert_rank_match(vals, ids, ref_vals, ref_idx)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_self_retrieval_and_recall(rng):
     from rag_faiss_embedding_tpu.parallel.sharded_ivf import ShardedIVFIndex
 

@@ -42,6 +42,7 @@ def clustered(rng, n_clusters=32, per=128, d=64, spread=0.3):
 
 
 # -------------------------------------------------------------------- codec
+@pytest.mark.slow
 def test_codec_round_trip_and_quality(rng):
     pts = clustered(rng)
     cb = train_pq(pts, m=16, n_iters=20, seed=0)
@@ -92,6 +93,7 @@ def test_pq_search_matches_adc_oracle(rng, metric):
     assert_rank_match(vals, ids, ref_vals, ref_ids)
 
 
+@pytest.mark.slow
 def test_pq_true_recall_improves_with_m(rng):
     pts = clustered(rng, spread=0.5)
     q = rng.standard_normal((16, 64)).astype(np.float32)
@@ -113,6 +115,7 @@ def test_pq_true_recall_improves_with_m(rng):
 
 
 # ------------------------------------------------------------------- index
+@pytest.mark.slow
 def test_pq_index_surface(rng):
     pts = clustered(rng)
     idx = PQIndex(64, m=16, compute_dtype="f32")
@@ -179,6 +182,7 @@ def test_pq_persistence_round_trip(rng, tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_pq_through_config_and_manager(tmp_path):
     from .test_rag import DOCS, SMALL
     from rag_faiss_embedding_tpu.core import Config
@@ -199,6 +203,7 @@ def test_pq_through_config_and_manager(tmp_path):
 
 
 # ------------------------------------------------------------------ IVF-PQ
+@pytest.mark.slow
 def test_ivfpq_full_probe_oracle_and_residual_gain(rng):
     """IVF-PQ at full probe: recall bounded by the codec, residual codes
     beat raw-vector PQ at equal M; the scan never returns wrong tiers."""
@@ -230,6 +235,7 @@ def test_ivfpq_full_probe_oracle_and_residual_gain(rng):
     assert r_ivfpq > 0.5, r_ivfpq
 
 
+@pytest.mark.slow
 def test_ivfpq_streaming_remove_filter(rng):
     from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
 
@@ -330,6 +336,7 @@ def _refine_recall(idx, q, pts, k=10, nprobe=None):
     # near-tied same-cluster neighbors with gaps below int8 resolution.
     ("int8", 0.90), ("bfloat16", 0.95), ("float32", 0.99),
 ])
+@pytest.mark.slow
 def test_ivfpq_refine_beats_pure_adc(rng, refine_dtype, floor):
     """The refine shadow re-scores the ADC candidates at shadow precision,
     so recall@10 vs the TRUE (unquantized) oracle must beat the codec-bound
@@ -355,6 +362,7 @@ def test_ivfpq_refine_beats_pure_adc(rng, refine_dtype, floor):
     assert r_ref >= floor, (refine_dtype, r_ref)
 
 
+@pytest.mark.slow
 def test_ivfpq_opq_search(rng):
     """pq_opq=True in IVFFlatIndex: rotation is orthogonal, applied to the
     residual codec only (coarse stage unrotated), and search stays sane."""
@@ -375,6 +383,7 @@ def test_ivfpq_opq_search(rng):
     assert (np.asarray(pred)[:, 0] == truth).mean() >= 0.9
 
 
+@pytest.mark.slow
 def test_ivfpq_refine_opq_persistence_round_trip(rng, tmp_path):
     """shadow / shadow_scales / shadow_sq / pq_rot / rerank_depth /
     refine_dtype all survive save->load bit-exactly (padded_v3 codec)."""
@@ -444,6 +453,7 @@ def test_ivfpq_refine_edge_cases(rng):
     assert np.isin(pred[pred >= 0], np.flatnonzero(mask)).all()
 
 
+@pytest.mark.slow
 def test_ivfpq_build_chunked_matches_dense_build(rng):
     """With training pinned (centroids + codebooks from a dense build), the
     out-of-HBM chunked build must produce the IDENTICAL index: same window,
@@ -481,6 +491,7 @@ def test_ivfpq_build_chunked_matches_dense_build(rng):
     assert (np.asarray(ids)[:, 0] == np.arange(8)).mean() >= 0.75
 
 
+@pytest.mark.slow
 def test_int8_build_chunked_matches_dense_build(rng):
     """Chunked build with SQ8 storage (the 10M-scale int8 config): pinned
     training -> identical index to the dense build."""
@@ -519,6 +530,7 @@ def test_int8_build_chunked_matches_dense_build(rng):
     assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
 
 
+@pytest.mark.slow
 def test_pallas_decode_matches_xla(rng):
     """The one-hot MXU decode kernel (interpret mode off-TPU) is bit-exact
     with the XLA gather decode, standalone and through both index kinds."""
@@ -565,6 +577,7 @@ def test_pallas_decode_matches_xla(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_opq_improves_recall_on_correlated_data(rng):
     """OPQ's learned rotation (FAISS OPQMatrix analog) must beat plain PQ
     when subspaces are correlated, and persist through save/load."""
@@ -606,6 +619,7 @@ def test_opq_improves_recall_on_correlated_data(rng):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+@pytest.mark.slow
 def test_sharded_ivfpq_parity(rng):
     """Sharded IVF-PQ (multi-chip memory tier): full probe matches the
     single-chip IVF-PQ bit-for-bit under pinned training; persistence

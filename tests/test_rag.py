@@ -134,6 +134,7 @@ def test_generator_prompt_template():
     assert prompt.endswith("Answer:")
 
 
+@pytest.mark.slow
 def test_manager_ivf_index_kind(tmp_path, embedder):
     from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
 

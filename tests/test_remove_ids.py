@@ -207,6 +207,7 @@ def test_sharded_flat_remove_ids(rng):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(i2))
 
 
+@pytest.mark.slow
 def test_sharded_ivf_remove_ids_all_tiers(rng):
     """Tombstones must work in every tier: block lists, per-device spill,
     and the host-staged stream tier."""

@@ -51,6 +51,7 @@ def test_sharded_ivf_window_cap_spills_and_stays_exact(rng):
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_streaming_add_and_rebuild(rng):
     mesh = make_mesh({"db": 4})
     pts, _ = clustered_data(rng, n_clusters=8, per_cluster=32)
@@ -73,6 +74,7 @@ def test_sharded_ivf_streaming_add_and_rebuild(rng):
     np.testing.assert_array_equal(np.asarray(ids), ref_ids)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_state_roundtrip(rng, tmp_path):
     from rag_faiss_embedding_tpu.index import VectorStore
 
@@ -107,6 +109,7 @@ def test_sharded_ivf_vectors_insertion_order(rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_ivf_int8_storage(rng):
     """int8 sharded IVF (pruning + quantization compose across the mesh):
     full probe hits the flat SQ8 recall bar; spill/pending tiers stay
@@ -334,6 +337,7 @@ def test_sharded_flat_bf16_state_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(d1, d2)
 
 
+@pytest.mark.slow
 def test_sharded_ivf_pallas_backend_parity(rng):
     """The Pallas union-scan kernel runs per device under shard_map
     (forced interpret off-TPU): results match the XLA backend on the same

@@ -40,6 +40,7 @@ def test_params_export_import_roundtrip(tmp_path):
     assert cfg.hidden_size == 32 and cfg.num_layers == 2 and cfg.num_heads == 4
 
 
+@pytest.mark.slow
 def test_train_loop_and_reload(tmp_path, rng):
     docs = DOCS * 4
     params, tokenizer = train(
