@@ -19,7 +19,7 @@ Honesty protocol (docs/PERF.md): >=1024 queries timed through the SHIPPED
 median-of-3 RTT subtraction, fastest-of-3 runs; ground truth is a float32
 exact scan over the full corpus (chunk-streamed, same generator).
 
-Writes SCALE_r04.json (override with --out) and prints one JSON line per
+Writes SCALE_r05.json (override with --out) and prints one JSON line per
 nprobe; --rows-m 100 --no-refine is the 100M codes-only capacity run.
 
 Usage: python -m benchmarks.scale10m [--small]
@@ -45,7 +45,7 @@ def main() -> None:
                         help="CPU-scale smoke")
     parser.add_argument("--rows-m", type=int, default=10,
                         help="corpus size in Mi rows (TPU runs)")
-    parser.add_argument("--out", default="SCALE_r04.json")
+    parser.add_argument("--out", default="SCALE_r05.json")
     parser.add_argument("--no-refine", action="store_true",
                         help="codes-only tier (r03 config)")
     parser.add_argument("--rerank-depth", type=int, default=128)
