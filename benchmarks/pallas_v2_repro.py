@@ -8,11 +8,12 @@ scan-wrapped execution — and the crash poisons the whole client process
 shape kills it, cheaply and in the documented safe order:
 
     1. v1 direct call            (control — known good)
-    2. v2 direct call            (eager, no scan)
-    3. v2 jit, 1 execution
-    4. v2 jit, 2 executions      (r04: repeat-execution was the trigger
+    2. v2 direct, k=17           (no in-kernel top-k: base kernel only)
+    3. v2 direct, k=10           (ktop path: in-kernel top-k engaged)
+    4. v2 jit, 1 execution
+    5. v2 jit, 2 executions      (r04: repeat-execution was the trigger
                                   for >=128-rep scans of v1)
-    5. v2 inside lax.scan reps=4 (the bench harness shape that died)
+    6. v2 inside lax.scan reps=4 (the bench harness shape that died)
 
 Each step runs in its own subprocess so a poisoned runtime cannot mask
 later steps; one failure does not block the rest of the report. Usage:
@@ -31,18 +32,28 @@ import subprocess
 import sys
 
 STEPS = {
-    1: ("v1 direct", "v1", "direct", 1),
-    2: ("v2 direct", "v2", "direct", 1),
-    3: ("v2 jit x1", "v2", "jit", 1),
-    4: ("v2 jit x2", "v2", "jit", 2),
-    5: ("v2 scan reps=4", "v2", "scan", 4),
+    # (name, variant, mode, execs, k) — k=10 engages v2's in-kernel top-k
+    # (ktop fires for k<=16); k=17 forces the packed-tile XLA decode path,
+    # isolating the base v2 kernel from the ktop selection feature.
+    1: ("v1 direct", "v1", "direct", 1, 10),
+    2: ("v2 direct no-ktop", "v2", "direct", 1, 17),
+    3: ("v2 direct ktop", "v2", "direct", 1, 10),
+    4: ("v2 jit x1", "v2", "jit", 1, 10),
+    5: ("v2 jit x2", "v2", "jit", 2, 10),
+    6: ("v2 scan reps=4", "v2", "scan", 4, 10),
 }
 
 
-def run_step(step: int) -> None:
-    name, var, mode, execs = STEPS[step]
+def run_step(step: int, cpu: bool = False) -> None:
+    name, var, mode, execs, topk = STEPS[step]
     variant = 1 if var == "v1" else 2
     import jax
+
+    if cpu:
+        # true CPU smoke (interpret mode): the axon env ignores
+        # JAX_PLATFORMS=cpu from the environment — force it before first
+        # backend use, else a "smoke" run grabs the shared TPU tunnel
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -58,7 +69,7 @@ def run_step(step: int) -> None:
     idx.build(db)
     args = (idx._cent_store, idx._cent_sq, idx._sorted_vecs,
             idx._sorted_scales, idx._sorted_sq, idx._sorted_ids, None, None)
-    kw = dict(k=10, nprobe=8, window=idx._window, metric="L2",
+    kw = dict(k=topk, nprobe=8, window=idx._window, metric="L2",
               recall_target=idx.recall_target,
               union_cap=idx.union_cap or 128, qc=64,
               rerank_depth=idx.rerank_depth,
@@ -92,19 +103,22 @@ def run_step(step: int) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--step", type=int, default=None)
-    p.add_argument("--through", type=int, default=5,
+    p.add_argument("--through", type=int, default=6,
                    help="stop after this step (crash hygiene: each TPU "
                         "INVALID_ARGUMENT risks wedging the tunnel)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (interpret-mode smoke; "
+                        "NEVER touches the shared TPU tunnel)")
     args = p.parse_args()
     if args.step is not None:
-        run_step(args.step)
+        run_step(args.step, cpu=args.cpu)
         return
     for step in sorted(STEPS):
         if step > args.through:
             break
         proc = subprocess.run(
             [sys.executable, "-m", "benchmarks.pallas_v2_repro",
-             "--step", str(step)],
+             "--step", str(step)] + (["--cpu"] if args.cpu else []),
             capture_output=True, text=True, timeout=1800,
         )
         ok = proc.returncode == 0

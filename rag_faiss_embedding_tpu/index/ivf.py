@@ -326,6 +326,13 @@ class IVFFlatIndex:
         self._sorted_shadow: Optional[jax.Array] = None
         self._sorted_shadow_scales: Optional[jax.Array] = None
         self._sorted_shadow_sq: Optional[jax.Array] = None
+        # PQ refine shadow is stored COMPACT ((n_rows, D), any order) with
+        # this (n_slots,) int32 slot->row map (-1 = dead slot): the block-
+        # padded layout pays slots/rows x the dense size for a D-wide
+        # array — 17.7 GB instead of 7.7 GB at 10M x 384, an OOM on a
+        # 16 GB chip. int8-dense shadows stay slot-laid (D bytes/row at
+        # ~2x padding is affordable) and keep this None.
+        self._shadow_pos: Optional[jax.Array] = None
         # chunk-stage backend: "auto" dispatches the Pallas fused union-scan
         # kernel (ops/pallas_ivf.py) when eligible (TPU, full-precision
         # storage, 128-aligned shapes), else the XLA chunk path
@@ -498,11 +505,13 @@ class IVFFlatIndex:
         return rows_f32.astype(jnp.bfloat16), None, exact_sq
 
     def _pq_shadow(self) -> Optional[Tuple[jax.Array, ...]]:
-        """Refine-shadow triple for the fused scan, or None."""
+        """Refine-shadow 4-tuple (codes, scales|None, sq, slot_to_row) for
+        the fused scan, or None. Codes are COMPACT (n_rows, D); the map
+        routes block slots to shadow rows (see ``_shadow_pos``)."""
         if self._sorted_shadow is None or not self.pq_m:
             return None
         return (self._sorted_shadow, self._sorted_shadow_scales,
-                self._sorted_shadow_sq)
+                self._sorted_shadow_sq, self._shadow_pos)
 
     def _pq_w(self) -> Optional[jax.Array]:
         """Grouped block-diagonal codebook for the Pallas decode kernel
@@ -729,23 +738,24 @@ class IVFFlatIndex:
             if sorted_scales is not None else None
         )
         padded_shadow = padded_sh_scales = padded_sh_sq = None
+        shadow_pos = None
         if self.quantized and self.rerank:
             padded_shadow = jnp.concatenate(
                 [sorted_f32.astype(jnp.bfloat16),
                  jnp.zeros((1, self.dim), jnp.bfloat16)]
             )[src]
         elif self.pq_m and self.rerank:
+            # COMPACT shadow (sorted order) + slot->row map: the D-wide
+            # shadow must not pay the block-padding overhead (see
+            # ``_shadow_pos``); spilled rows keep shadow entries harmlessly
+            # (the pending tier scores them exactly and never gathers here)
             sh_codes, sh_scales, sh_sq = self._refine_rows(
                 sorted_f32, exact_sq
             )
-            padded_shadow = jnp.concatenate(
-                [sh_codes, jnp.zeros((1, self.dim), sh_codes.dtype)]
-            )[src]
-            if sh_scales is not None:
-                padded_sh_scales = jnp.concatenate(
-                    [sh_scales, jnp.zeros((1,))]
-                )[src]
-            padded_sh_sq = jnp.concatenate([sh_sq, jnp.zeros((1,))])[src]
+            padded_shadow = sh_codes
+            padded_sh_scales = sh_scales
+            padded_sh_sq = sh_sq
+            shadow_pos = jnp.where(src < n, src, -1).astype(jnp.int32)
 
         # ---- spill rows (rank >= window, or sentinel list) -> exact tier
         jax.block_until_ready(padded_codes)
@@ -792,6 +802,10 @@ class IVFFlatIndex:
         self._sorted_shadow_sq = (
             jax.device_put(padded_sh_sq, dev)
             if padded_sh_sq is not None else None
+        )
+        self._shadow_pos = (
+            jax.device_put(shadow_pos, dev)
+            if shadow_pos is not None else None
         )
         self._offsets = jax.device_put(
             jnp.arange(nlist, dtype=jnp.int32) * window, dev
@@ -931,19 +945,35 @@ class IVFFlatIndex:
             if self.quantized else None
         )
         padded_shadow = padded_sh_scales = padded_sh_sq = None
+        shadow_fill = None
         if self.pq_m and self.rerank:
             sh_dt = {"int8": jnp.int8, "float32": jnp.float32}.get(
                 self.refine_dtype, jnp.bfloat16)
+            # COMPACT shadow, corpus-row order (= the ids build_chunked
+            # assigns), filled chunk-contiguously with DONATED buffers: the
+            # compact shadow is 7.7 GB at 10M x 384 bf16 — an eager
+            # .at[].set (or an undonated update) holds TWO copies and OOMs
+            # the 16 GB chip; donation aliases in/out so each chunk's cast
+            # lands in place. The slot->row map is exactly ``padded_ids``
+            # (ids ARE corpus positions here), installed below for free.
             padded_shadow = jax.device_put(
-                jnp.zeros((n_slots, self.dim), sh_dt), dev
+                jnp.zeros((n, self.dim), sh_dt), dev
             )
             if self.refine_dtype == "int8":
                 padded_sh_scales = jax.device_put(
-                    jnp.zeros((n_slots,), jnp.float32), dev
+                    jnp.zeros((n,), jnp.float32), dev
                 )
             padded_sh_sq = jax.device_put(
-                jnp.zeros((n_slots,), jnp.float32), dev
+                jnp.zeros((n,), jnp.float32), dev
             )
+            donate = (0,) if jax.devices()[0].platform != "cpu" else ()
+
+            @functools.partial(jax.jit, donate_argnums=donate)
+            def shadow_fill(buf, upd, start):
+                from jax import lax as _lax
+
+                idx0 = (start,) + (jnp.int32(0),) * (buf.ndim - 1)
+                return _lax.dynamic_update_slice(buf, upd, idx0)
         spill_vecs, spill_ids = [], []
         seen = np.zeros((nlist,), np.int64)  # rows already placed per list
         for i in range(n_chunks):
@@ -988,15 +1018,18 @@ class IVFFlatIndex:
             if padded_scales is not None:
                 padded_scales = padded_scales.at[dest].set(scales[kpos])
             if padded_shadow is not None:
+                # ALL chunk rows (spilled ones included — harmless, the
+                # pending tier never gathers here), contiguous at `start`
                 sh_codes, sh_scales, sh_sq = self._refine_rows(
                     rows, dist_ops.sqnorms(rows)
                 )
-                padded_shadow = padded_shadow.at[dest].set(sh_codes[kpos])
+                s0 = jnp.int32(start)
+                padded_shadow = shadow_fill(padded_shadow, sh_codes, s0)
                 if padded_sh_scales is not None:
-                    padded_sh_scales = padded_sh_scales.at[dest].set(
-                        sh_scales[kpos]
+                    padded_sh_scales = shadow_fill(
+                        padded_sh_scales, sh_scales, s0
                     )
-                padded_sh_sq = padded_sh_sq.at[dest].set(sh_sq[kpos])
+                padded_sh_sq = shadow_fill(padded_sh_sq, sh_sq, s0)
             if (~keep).any():
                 spos = jnp.asarray(np.nonzero(~keep)[0], jnp.int32)
                 spill_vecs.append(rows[spos])  # stays on device
@@ -1014,6 +1047,9 @@ class IVFFlatIndex:
         self._sorted_shadow = padded_shadow
         self._sorted_shadow_scales = padded_sh_scales
         self._sorted_shadow_sq = padded_sh_sq
+        # slot->shadow-row map: ids here ARE corpus positions (aliasing the
+        # immutable ids array costs no memory)
+        self._shadow_pos = padded_ids if padded_shadow is not None else None
         self._offsets = jax.device_put(
             jnp.arange(nlist, dtype=jnp.int32) * window, dev
         )
@@ -1304,6 +1340,7 @@ class IVFFlatIndex:
         self._sorted_shadow = None
         self._sorted_shadow_scales = None
         self._sorted_shadow_sq = None
+        self._shadow_pos = None
         self._offsets = None
         self._lengths = None
         self._window = 0
@@ -1334,13 +1371,15 @@ class IVFFlatIndex:
             if self.pq_m and self._sorted_shadow is not None:
                 # the refine shadow is a far better reconstruction than the
                 # M-byte codes (int8: ~1e-2 relative error vs PQ's lossy
-                # codebook) — rebuild()/persistence keep shadow fidelity
-                sh = self._sorted_shadow[pos]
+                # codebook) — rebuild()/persistence keep shadow fidelity.
+                # Compact layout: route block slots through the slot->row map
+                sp = self._shadow_pos[pos]
+                sh = self._sorted_shadow[sp]
                 if self._sorted_shadow_scales is not None:
                     from ..ops.quantize import dequantize
 
                     built = np.asarray(
-                        dequantize(sh, self._sorted_shadow_scales[pos])
+                        dequantize(sh, self._sorted_shadow_scales[sp])
                     )
                 else:
                     built = np.asarray(sh.astype(jnp.float32))
@@ -1443,14 +1482,21 @@ class IVFFlatIndex:
             if self.quantized:
                 state["scales"] = np.asarray(self._sorted_scales[pos])
             if self._sorted_shadow is not None:
-                state["shadow"] = self._to_host(self._sorted_shadow[pos])
+                # on-disk format is UNCHANGED (block-order rows): compact
+                # shadows (PQ, _shadow_pos set) gather through the map,
+                # slot-laid shadows (int8 dense) slice directly
+                sh_idx = (
+                    self._shadow_pos[pos]
+                    if self._shadow_pos is not None else pos
+                )
+                state["shadow"] = self._to_host(self._sorted_shadow[sh_idx])
                 if self._sorted_shadow_scales is not None:
                     state["shadow_scales"] = np.asarray(
-                        self._sorted_shadow_scales[pos]
+                        self._sorted_shadow_scales[sh_idx]
                     )
                 if self._sorted_shadow_sq is not None:
                     state["shadow_sq"] = np.asarray(
-                        self._sorted_shadow_sq[pos]
+                        self._sorted_shadow_sq[sh_idx]
                     )
                 state["refine_dtype"] = self.refine_dtype
         if self._pending.ntotal:
@@ -1508,26 +1554,45 @@ class IVFFlatIndex:
                            dev)
             if scales is not None else None
         )
-        self._sorted_shadow = (
-            jax.device_put(
-                jnp.concatenate(
-                    [shadow, jnp.zeros((1, self.dim), shadow.dtype)]
-                )[src], dev
+        if shadow is not None and self.pq_m:
+            # PQ refine shadow stays COMPACT on reload (rows arrive in
+            # block order; the map routes slots to them) — re-padding a
+            # D-wide array is exactly the 10M OOM this layout avoids
+            self._sorted_shadow = jax.device_put(shadow, dev)
+            self._sorted_shadow_scales = (
+                jax.device_put(shadow_scales, dev)
+                if shadow_scales is not None else None
             )
-            if shadow is not None else None
-        )
-        self._sorted_shadow_scales = (
-            jax.device_put(
-                jnp.concatenate([shadow_scales, jnp.zeros((1,))])[src], dev
+            self._sorted_shadow_sq = (
+                jax.device_put(shadow_sq, dev)
+                if shadow_sq is not None else None
             )
-            if shadow_scales is not None else None
-        )
-        self._sorted_shadow_sq = (
-            jax.device_put(
-                jnp.concatenate([shadow_sq, jnp.zeros((1,))])[src], dev
+            self._shadow_pos = jax.device_put(
+                jnp.where(src < n_live, src, -1).astype(jnp.int32), dev
             )
-            if shadow_sq is not None else None
-        )
+        else:
+            self._sorted_shadow = (
+                jax.device_put(
+                    jnp.concatenate(
+                        [shadow, jnp.zeros((1, self.dim), shadow.dtype)]
+                    )[src], dev
+                )
+                if shadow is not None else None
+            )
+            self._sorted_shadow_scales = (
+                jax.device_put(
+                    jnp.concatenate([shadow_scales, jnp.zeros((1,))])[src],
+                    dev
+                )
+                if shadow_scales is not None else None
+            )
+            self._sorted_shadow_sq = (
+                jax.device_put(
+                    jnp.concatenate([shadow_sq, jnp.zeros((1,))])[src], dev
+                )
+                if shadow_sq is not None else None
+            )
+            self._shadow_pos = None
         self._offsets = jax.device_put(
             jnp.arange(nlist, dtype=jnp.int32) * window, dev
         )

@@ -378,9 +378,11 @@ def _chunk_body_pq(
     measured rationale in docs/PERF.md "PQ on TPU": ADC ranking scrambles
     near-tied neighbors, capping recall@10 at ~0.32 on shell-structured
     data while recall@1 hits 0.97 — coverage is fine, the CODE ranking
-    isn't). A triple ``(codes, scales|None, exact_sq)`` of block-padded
-    shadow rows; the top ``rerank_depth`` ADC candidates per query are
-    re-scored exactly against the dequantized shadow (a tiny slot gather +
+    isn't). A 4-tuple ``(codes, scales|None, exact_sq, slot_to_row)`` of
+    COMPACT shadow rows (n_rows x D, not block-padded — the padded layout
+    is slots/rows x larger and OOMs at 10M) plus an int32 slot->row map;
+    the top ``rerank_depth`` ADC candidates per query are re-scored
+    exactly against the dequantized shadow (a tiny mapped gather +
     batched matvec, same shape as the int8 tier's bf16 rerank)."""
     from .pq import _decode_bf16
 
@@ -458,11 +460,17 @@ def _chunk_body_pq(
         (best_v, best_slot), _ = lax.scan(body, init, (u_segs, cdu_segs))
         best_i = jnp.where(best_v > NEG_INF, sorted_ids[best_slot], -1)
     if shadow is not None:
-        s_codes, s_scales, s_sq = shadow
-        slot = best_slot                                     # (qc, k_cand)
-        srows = s_codes[slot].astype(jnp.float32)            # (qc, kc, D)
+        # COMPACT refine shadow: (n_rows, D) rows + a slot->row map.
+        # Block-padding the D-wide shadow would cost slots/rows x its dense
+        # size (17.7 GB vs 7.7 GB at 10M x 384 / window 1408 — an OOM on a
+        # 16 GB chip); only the M-byte codes pay the padded layout. Dead
+        # slots map to -1 -> clamped to row 0; their scores are re-masked
+        # below (best_i == -1 never survives _live_rows).
+        s_codes, s_scales, s_sq, s_pos = shadow
+        cp = jnp.maximum(s_pos[best_slot], 0)                # (qc, k_cand)
+        srows = s_codes[cp].astype(jnp.float32)              # (qc, kc, D)
         if s_scales is not None:
-            srows = srows * s_scales[slot][..., None]
+            srows = srows * s_scales[cp][..., None]
         dots = jnp.einsum(
             "qd,qkd->qk", q, srows, preferred_element_type=jnp.float32
         )
@@ -499,7 +507,8 @@ def fused_ivf_search_math(
     #                                      are ((nlist+1)*window, M) uint8
     pq_w: Optional[jax.Array] = None,    # grouped codebook: Pallas decode
     pq_shadow: Optional[Tuple[jax.Array, ...]] = None,  # (codes, scales|None,
-    #                                      exact_sq) refine rows (PQ storage)
+    #                                      exact_sq, slot_to_row) COMPACT
+    #                                      refine rows (PQ storage)
     pq_r: Optional[jax.Array] = None,    # (D, D) OPQ rotation: codes encode
     #                                      (x - c)@R, so q·r̂ = (q@R)·dec
     *,
