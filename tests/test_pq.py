@@ -716,3 +716,47 @@ def test_ivfpq_union_segmentation_matches_unsegmented(rng, monkeypatch):
     v3, i3 = idx2.search(q, 5, nprobe=8, filter_mask=mask)
     i3 = np.asarray(i3)
     assert np.isin(i3[i3 >= 0], np.flatnonzero(mask)).all()
+
+
+def test_ivfpq_refine_shadow_is_compact(rng):
+    """The D-wide refine shadow must NOT pay the block-padding overhead:
+    (nlist+1)*window slots x D is slots/rows x its dense size — 17.7 GB
+    instead of 7.7 GB at 10M x 384 / window 1408, the exact OOM the first
+    r05 10M run died on. Rows stay (n, D) with an int32 slot->row map
+    through build(), build_chunked(), and reload (ivf.py _shadow_pos)."""
+    import jax.numpy as jnp
+
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    pts = clustered(rng, n_clusters=16, per=96, spread=0.25)
+    n, d = pts.shape
+    idx = IVFFlatIndex(d, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                       rerank=True, rerank_depth=32,
+                       refine_dtype="bfloat16")
+    idx.build(pts)
+    n_slots = (idx.nlist + 1) * idx._window
+    assert idx._sorted_shadow.shape == (n, d)          # compact, not slots
+    assert idx._shadow_pos.shape == (n_slots,)
+    # map semantics: every live slot's shadow row IS that slot's vector
+    ids = np.asarray(idx._sorted_ids)
+    pos = np.asarray(idx._shadow_pos)
+    live = np.flatnonzero(ids >= 0)[:64]
+    sh = np.asarray(idx._sorted_shadow.astype(jnp.float32))
+    np.testing.assert_allclose(sh[pos[live]], pts[ids[live]],
+                               rtol=0.01, atol=0.01)   # bf16 cast
+    # dead slots carry the -1 sentinel
+    assert (pos[ids < 0] == -1).all()
+
+    # chunked (out-of-HBM) build: corpus-ordered compact shadow; the map
+    # aliases the ids array (ids are corpus positions) at zero extra HBM
+    idx2 = IVFFlatIndex(d, nlist=8, nprobe=8, pq_m=16, pq_compute="f32",
+                        rerank=True, rerank_depth=32,
+                        refine_dtype="bfloat16", balance="spill")
+    idx2.build_chunked(lambda s, z: pts[s:s + z], n=n, chunk_size=512)
+    assert idx2._sorted_shadow.shape == (n, d)
+    assert idx2._shadow_pos is idx2._sorted_ids
+
+    # reload installs compact + map (disk format unchanged: block order)
+    loaded = IVFFlatIndex.from_state_dict(idx.state_dict())
+    assert loaded._sorted_shadow.shape == (loaded._n_built, d)
+    assert loaded._shadow_pos is not None
