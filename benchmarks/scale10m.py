@@ -70,6 +70,11 @@ def main() -> None:
         # are the cheaper trade at 100M
         nlist = 16384 if n <= 16 * (1 << 20) else 32768
         chunk, q_batch, reps = 1 << 20, Q_BATCH, REPS
+        if not args.no_refine:
+            # refine builds hold the 7.7 GB bf16 shadow resident — halve
+            # the streamed chunk so pass-B transients (rows + encode +
+            # shadow cast) stay inside the 16 GB budget
+            chunk = 1 << 19
     n_modes = 8192
     key = jax.random.PRNGKey(0)
     kc, km, kn, kq = jax.random.split(key, 4)

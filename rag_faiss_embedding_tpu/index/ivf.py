@@ -448,24 +448,25 @@ class IVFFlatIndex:
         the dense decode never materializes corpus-sized intermediates."""
         from ..ops import pq as pq_ops
 
-        cl = jnp.minimum(lists, self.nlist - 1)  # sentinel rows spill anyway
-        cents = self.centroids[cl]
-        resid = rows_f32 - cents
         if self.pq_codebooks is None:
-            self._train_pq_codec(resid)
-        if self.pq_rot is not None:
-            resid = resid @ self.pq_rot
+            cl_all = jnp.minimum(lists, self.nlist - 1)
+            self._train_pq_codec(rows_f32 - self.centroids[cl_all])
         codes_parts, sq_parts = [], []
         chunk = 131072
         for start in range(0, int(rows_f32.shape[0]), chunk):
-            rc = resid[start : start + chunk]
+            # per-sub-chunk residuals: full-chunk cents+resid temporaries
+            # are 3 GB at a 1M chunk — with the 7.7 GB refine shadow
+            # resident that overflowed the 16 GB chip (first r05 10M run)
+            cl = jnp.minimum(lists[start : start + chunk], self.nlist - 1)
+            cents = self.centroids[cl]
+            rc = rows_f32[start : start + chunk] - cents
+            if self.pq_rot is not None:
+                rc = rc @ self.pq_rot
             cc, _ = pq_ops.pq_encode(self.pq_codebooks, rc)
             rec = pq_ops.pq_decode(self.pq_codebooks, cc)
             if self.pq_rot is not None:
                 rec = rec @ self.pq_rot.T  # back to the original space
-            sq_parts.append(
-                dist_ops.sqnorms(rec + cents[start : start + chunk])
-            )
+            sq_parts.append(dist_ops.sqnorms(rec + cents))
             codes_parts.append(cc)
         return jnp.concatenate(codes_parts), jnp.concatenate(sq_parts)
 

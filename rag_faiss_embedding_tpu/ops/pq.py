@@ -164,14 +164,23 @@ def train_opq(
 
 # ----------------------------------------------------------- encode/decode
 @functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _encode_chunk(codebooks: jax.Array, xc: jax.Array) -> jax.Array:
     m, ksub, dsub = codebooks.shape
     xs = xc.reshape(xc.shape[0], m, dsub).transpose(1, 0, 2)  # (M, c, dsub)
     c_sq = jnp.sum(codebooks * codebooks, axis=-1)            # (M, ksub)
-    dots = jnp.einsum(
-        "mnd,mkd->mnk", xs, codebooks, preferred_element_type=jnp.float32
-    )
-    assign = jnp.argmax(2.0 * dots - c_sq[:, None, :], axis=-1)  # (M, c)
+
+    # sequential over subspaces (lax.map = scan): the one-shot einsum
+    # materializes a (M, c, ksub) f32 — 6.4 GB at M=48 / c=131072 — which
+    # OOM'd the 10M refine build once the 7.7 GB shadow was resident.
+    # Per-step memory is one (c, ksub) tile (~134 MB); jit keeps it a
+    # single dispatch through the axon tunnel.
+    def one(args):
+        xm, cbm, csqm = args                                  # (c, dsub)...
+        dots = jnp.dot(xm, cbm.T, preferred_element_type=jnp.float32)
+        return jnp.argmax(2.0 * dots - csqm[None, :], axis=-1)
+
+    assign = jax.lax.map(one, (xs, codebooks, c_sq))          # (M, c)
     return assign.T.astype(jnp.uint8)                          # (c, M)
 
 
