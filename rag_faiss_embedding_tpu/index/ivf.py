@@ -56,6 +56,25 @@ from .flat import FlatIndex, _round_up
 logger = get_logger(__name__)
 
 
+@functools.lru_cache(maxsize=1)
+def _scatter_rows_donated_fn():
+    """Jitted row scatter with input donation (lazy: building it eagerly
+    would initialize the jax backend at import time). Donation lets XLA
+    alias the padded array across chunked-build updates — an eager
+    .at[].set holds TWO copies of the buffer, which at a 100M-row build
+    is 2 x 9.7 GB for the codes alone. CPU (tests) skips donation (not
+    implemented there; small sizes, the copy is fine)."""
+    donate = (0,) if jax.devices()[0].platform != "cpu" else ()
+    return jax.jit(
+        lambda buf, dest, vals: buf.at[dest].set(vals),
+        donate_argnums=donate,
+    )
+
+
+def _scatter_rows_donated(buf, dest, vals):
+    return _scatter_rows_donated_fn()(buf, dest, vals)
+
+
 def probe_scan_math(
     q,            # (Q, D) f32
     sorted_vecs,  # (Npad, D)
@@ -945,36 +964,6 @@ class IVFFlatIndex:
             jax.device_put(jnp.zeros((n_slots,), jnp.float32), dev)
             if self.quantized else None
         )
-        padded_shadow = padded_sh_scales = padded_sh_sq = None
-        shadow_fill = None
-        if self.pq_m and self.rerank:
-            sh_dt = {"int8": jnp.int8, "float32": jnp.float32}.get(
-                self.refine_dtype, jnp.bfloat16)
-            # COMPACT shadow, corpus-row order (= the ids build_chunked
-            # assigns), filled chunk-contiguously with DONATED buffers: the
-            # compact shadow is 7.7 GB at 10M x 384 bf16 — an eager
-            # .at[].set (or an undonated update) holds TWO copies and OOMs
-            # the 16 GB chip; donation aliases in/out so each chunk's cast
-            # lands in place. The slot->row map is exactly ``padded_ids``
-            # (ids ARE corpus positions here), installed below for free.
-            padded_shadow = jax.device_put(
-                jnp.zeros((n, self.dim), sh_dt), dev
-            )
-            if self.refine_dtype == "int8":
-                padded_sh_scales = jax.device_put(
-                    jnp.zeros((n,), jnp.float32), dev
-                )
-            padded_sh_sq = jax.device_put(
-                jnp.zeros((n,), jnp.float32), dev
-            )
-            donate = (0,) if jax.devices()[0].platform != "cpu" else ()
-
-            @functools.partial(jax.jit, donate_argnums=donate)
-            def shadow_fill(buf, upd, start):
-                from jax import lax as _lax
-
-                idx0 = (start,) + (jnp.int32(0),) * (buf.ndim - 1)
-                return _lax.dynamic_update_slice(buf, upd, idx0)
         spill_vecs, spill_ids = [], []
         seen = np.zeros((nlist,), np.int64)  # rows already placed per list
         for i in range(n_chunks):
@@ -1007,30 +996,26 @@ class IVFFlatIndex:
             rank = rank + seen[a]
             seen += np.bincount(a, minlength=nlist)
             keep = rank < window
-            kpos = jnp.asarray(np.nonzero(keep)[0], jnp.int32)
-            dest = jnp.asarray(
-                a[keep].astype(np.int64) * window + rank[keep], jnp.int32
-            )
-            padded_codes = padded_codes.at[dest].set(codes[kpos])
-            padded_sq = padded_sq.at[dest].set(rec_sq[kpos])
-            padded_ids = padded_ids.at[dest].set(
-                kpos + jnp.int32(start)
-            )
+            # FULL-chunk donated scatter: not-kept rows all route to the
+            # sentinel dump slot (their scattered id is -1, so the slot
+            # stays dead whatever codes land there). One fixed shape per
+            # chunk size -> one compile; donation updates the padded
+            # arrays in place (an eager .at[].set copies the whole codes
+            # array per chunk — 2 x 9.7 GB at 100M, instant OOM).
+            dump = nlist * window
+            dest = jnp.asarray(np.where(
+                keep, a.astype(np.int64) * window + rank, dump
+            ), jnp.int32)
+            ids_chunk = jnp.asarray(np.where(
+                keep, np.arange(start, start + size, dtype=np.int64), -1
+            ), jnp.int32)
+            padded_codes = _scatter_rows_donated(padded_codes, dest, codes)
+            padded_sq = _scatter_rows_donated(padded_sq, dest, rec_sq)
+            padded_ids = _scatter_rows_donated(padded_ids, dest, ids_chunk)
             if padded_scales is not None:
-                padded_scales = padded_scales.at[dest].set(scales[kpos])
-            if padded_shadow is not None:
-                # ALL chunk rows (spilled ones included — harmless, the
-                # pending tier never gathers here), contiguous at `start`
-                sh_codes, sh_scales, sh_sq = self._refine_rows(
-                    rows, dist_ops.sqnorms(rows)
+                padded_scales = _scatter_rows_donated(
+                    padded_scales, dest, scales
                 )
-                s0 = jnp.int32(start)
-                padded_shadow = shadow_fill(padded_shadow, sh_codes, s0)
-                if padded_sh_scales is not None:
-                    padded_sh_scales = shadow_fill(
-                        padded_sh_scales, sh_scales, s0
-                    )
-                padded_sh_sq = shadow_fill(padded_sh_sq, sh_sq, s0)
             if (~keep).any():
                 spos = jnp.asarray(np.nonzero(~keep)[0], jnp.int32)
                 spill_vecs.append(rows[spos])  # stays on device
@@ -1038,6 +1023,61 @@ class IVFFlatIndex:
                                            dtype=np.int32)[~keep])
             del rows, codes, rec_sq
         bstats["encode_s"] = time.perf_counter() - t0
+
+        # ---- pass C: refine shadow, AFTER the encode/scatter loop.
+        # COMPACT layout, corpus-row order (= the ids build_chunked
+        # assigns; the slot->row map is exactly ``padded_ids``), filled
+        # chunk-contiguously with DONATED buffers — an eager .at[].set (or
+        # an undonated update) holds TWO copies of the 7.7 GB bf16 shadow
+        # at 10M x 384 and OOMs the 16 GB chip. Running this as its OWN
+        # source pass keeps the shadow residency out of the encode stage's
+        # peak (their overlap OOM'd the first two r05 10M attempts: frees
+        # through the axon tunnel lag allocation bursts). ALL corpus rows
+        # get shadow entries (spilled ones included — harmless, the
+        # pending tier never gathers here).
+        padded_shadow = padded_sh_scales = padded_sh_sq = None
+        if self.pq_m and self.rerank:
+            t0 = time.perf_counter()
+            jax.block_until_ready(padded_codes)  # drain encode-stage frees
+            sh_dt = {"int8": jnp.int8, "float32": jnp.float32}.get(
+                self.refine_dtype, jnp.bfloat16)
+            padded_shadow = jax.device_put(
+                jnp.zeros((n, self.dim), sh_dt), dev
+            )
+            if self.refine_dtype == "int8":
+                padded_sh_scales = jax.device_put(
+                    jnp.zeros((n,), jnp.float32), dev
+                )
+            padded_sh_sq = jax.device_put(
+                jnp.zeros((n,), jnp.float32), dev
+            )
+            donate = (0,) if jax.devices()[0].platform != "cpu" else ()
+
+            @functools.partial(jax.jit, donate_argnums=donate)
+            def shadow_fill(buf, upd, start):
+                from jax import lax as _lax
+
+                idx0 = (start,) + (jnp.int32(0),) * (buf.ndim - 1)
+                return _lax.dynamic_update_slice(buf, upd, idx0)
+
+            for i in range(n_chunks):
+                start = i * chunk_size
+                size = min(chunk_size, n - start)
+                rows = jnp.asarray(source(start, size), jnp.float32)
+                sh_codes, sh_scales, sh_sq = self._refine_rows(
+                    rows, dist_ops.sqnorms(rows)
+                )
+                del rows
+                s0 = jnp.int32(start)
+                padded_shadow = shadow_fill(padded_shadow, sh_codes, s0)
+                if padded_sh_scales is not None:
+                    padded_sh_scales = shadow_fill(
+                        padded_sh_scales, sh_scales, s0
+                    )
+                padded_sh_sq = shadow_fill(padded_sh_sq, sh_sq, s0)
+                del sh_codes, sh_scales, sh_sq
+            jax.block_until_ready(padded_shadow)
+            bstats["shadow_s"] = time.perf_counter() - t0
 
         # ---- install
         t0 = time.perf_counter()
