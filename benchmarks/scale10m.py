@@ -48,7 +48,9 @@ def main() -> None:
     parser.add_argument("--out", default="SCALE_r05.json")
     parser.add_argument("--no-refine", action="store_true",
                         help="codes-only tier (r03 config)")
-    parser.add_argument("--rerank-depth", type=int, default=128)
+    parser.add_argument("--rerank-depth", default="128",
+                        help="comma list sweeps depths on ONE build "
+                             "(e.g. 128,512); the artifact records each")
     args = parser.parse_args()
 
     import jax
@@ -104,10 +106,11 @@ def main() -> None:
     # ---- build (out-of-HBM, chunk-streamed)
     t0 = time.perf_counter()
     refine = not args.no_refine
+    depths = [int(x) for x in str(args.rerank_depth).split(",")]
     idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, pq_m=M_PQ,
                        train_iters=10, rerank=refine,
                        refine_dtype="bfloat16",
-                       rerank_depth=args.rerank_depth)
+                       rerank_depth=depths[0])
     if n > 32 * (1 << 20):
         idx.train_sample_per_list = 32  # bound Lloyd cost at 100M scale
     idx.build_chunked(source, n=n, chunk_size=chunk)
@@ -167,37 +170,45 @@ def main() -> None:
             r *= 4
 
     results = {}
-    for nprobe in (8, 16, 32, 64):
-        if nprobe > nlist:
-            continue
-        per_batch = timed(lambda: idx.search(queries, 10, nprobe=nprobe))
-        _, pred = idx.search(queries, 10, nprobe=nprobe)
-        pred = np.asarray(pred)
-        hits = sum(len(set(p.tolist()) & set(t.tolist()))
-                   for p, t in zip(pred, truth))
-        recall = hits / truth.size
-        # recall@1: the true NN is well separated on mixture data; @10 is
-        # codec-bound (ranks 2..10 are near-equidistant mode-mates — the
-        # hardest case for any lossy code, FAISS IVFPQ behaves the same)
-        r1 = float((pred[:, 0] == truth[:, 0]).mean())
-        from rag_faiss_embedding_tpu.ops.ivf_scan import (
-            _pq_union_segments, default_union_cap)
-        ucap = default_union_cap(nlist, nprobe)
-        qc = max(16, min(256, ucap))
-        results[f"nprobe{nprobe}"] = {
-            "qps": q_batch / per_batch,
-            "batch_ms": per_batch * 1e3,
-            "recall_at_10": recall,
-            "recall_at_1": r1,
-            "union_cap": ucap, "qc": qc,
-            "useg": _pq_union_segments(ucap, idx._window, M_PQ, DIM, qc),
-        }
-        print(json.dumps({
-            "metric": "ivfpq_scale_qps", "nprobe": nprobe,
-            "value": round(q_batch / per_batch, 1), "unit": "qps",
-            "recall_at_10": round(recall, 4), "recall_at_1": round(r1, 4),
-            "n": n,
-        }))
+    for depth in depths:
+        idx.rerank_depth = depth  # static search arg: recompiles per depth
+        for nprobe in (8, 16, 32, 64):
+            if nprobe > nlist:
+                continue
+            per_batch = timed(lambda: idx.search(queries, 10, nprobe=nprobe))
+            _, pred = idx.search(queries, 10, nprobe=nprobe)
+            pred = np.asarray(pred)
+            hits = sum(len(set(p.tolist()) & set(t.tolist()))
+                       for p, t in zip(pred, truth))
+            recall = hits / truth.size
+            # recall@1: the true NN is well separated on mixture data; @10
+            # needs the refine tier at depth covering the ADC's near-tie
+            # scrambling radius (mode-mates are near-equidistant — the
+            # hardest case for any lossy code, FAISS IVFPQ behaves the same)
+            r1 = float((pred[:, 0] == truth[:, 0]).mean())
+            from rag_faiss_embedding_tpu.ops.ivf_scan import (
+                _pq_union_segments, default_union_cap)
+            ucap = default_union_cap(nlist, nprobe)
+            qc = max(16, min(256, ucap))
+            tag = (f"nprobe{nprobe}" if len(depths) == 1
+                   else f"nprobe{nprobe}_rd{depth}")
+            results[tag] = {
+                "qps": q_batch / per_batch,
+                "batch_ms": per_batch * 1e3,
+                "recall_at_10": recall,
+                "recall_at_1": r1,
+                "union_cap": ucap, "qc": qc,
+                "rerank_depth": depth if refine else None,
+                "useg": _pq_union_segments(ucap, idx._window, M_PQ, DIM, qc),
+            }
+            print(json.dumps({
+                "metric": "ivfpq_scale_qps", "nprobe": nprobe,
+                "rerank_depth": depth if refine else None,
+                "value": round(q_batch / per_batch, 1), "unit": "qps",
+                "recall_at_10": round(recall, 4),
+                "recall_at_1": round(r1, 4),
+                "n": n,
+            }))
 
     out = {
         "n": n, "dim": DIM, "pq_m": M_PQ, "nlist": nlist,
@@ -208,7 +219,7 @@ def main() -> None:
         "hbm_resident_bytes": hbm_bytes,
         "window": idx._window, "spill_rows": idx._n_spill,
         "queries": q_batch, "results": results,
-        "refine": ({"dtype": "bfloat16", "rerank_depth": args.rerank_depth}
+        "refine": ({"dtype": "bfloat16", "rerank_depths": depths}
                    if refine else None),
         "note": "IVF-PQ residual codes, out-of-HBM chunked build; corpus "
                 "regenerated deterministically per chunk (never stored). "
