@@ -131,8 +131,12 @@ def main() -> None:
     for start in range(0, n, chunk):
         size = min(chunk, n - start)
         rows = source(start, size)
+        # inner scan chunk: the (q_batch, chunk) f32 score tile rides on
+        # top of the resident index — at 100M (~13 GB resident) a 2 GB
+        # tile is the difference between fitting and OOM
+        gt_chunk = 1 << 18 if n > 16 * (1 << 20) else 1 << 19
         vals, ids = dist_ops.exact_search(
-            queries, rows, 10, metric="L2", chunk_size=min(size, 1 << 19)
+            queries, rows, 10, metric="L2", chunk_size=min(size, gt_chunk)
         )
         cv = -vals  # internal higher-better scale
         ci = jnp.where(ids >= 0, ids + start, -1)
