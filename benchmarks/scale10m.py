@@ -51,6 +51,11 @@ def main() -> None:
     parser.add_argument("--rerank-depth", default="128",
                         help="comma list sweeps depths on ONE build "
                              "(e.g. 128,512); the artifact records each")
+    parser.add_argument("--storage", choices=("pq", "int8"), default="pq",
+                        help="int8 = dense SQ8 rows in the padded lists "
+                             "(~8.9 GB at 10M — fits, and the union scan "
+                             "reads rows directly instead of paying the "
+                             "PQ decode + rerank gather)")
     args = parser.parse_args()
 
     import jax
@@ -72,10 +77,10 @@ def main() -> None:
         # are the cheaper trade at 100M
         nlist = 16384 if n <= 16 * (1 << 20) else 32768
         chunk, q_batch, reps = 1 << 20, Q_BATCH, REPS
-        if not args.no_refine:
-            # refine builds hold the 7.7 GB bf16 shadow resident — halve
-            # the streamed chunk so pass-B transients (rows + encode +
-            # shadow cast) stay inside the 16 GB budget
+        if args.storage == "int8" or not args.no_refine:
+            # refine builds hold the 7.7 GB bf16 shadow resident (int8
+            # builds the 8.9 GB padded rows) — halve the streamed chunk
+            # so pass-B transients stay inside the 16 GB budget
             chunk = 1 << 19
     n_modes = 8192
     key = jax.random.PRNGKey(0)
@@ -105,19 +110,32 @@ def main() -> None:
 
     # ---- build (out-of-HBM, chunk-streamed)
     t0 = time.perf_counter()
-    refine = not args.no_refine
+    int8_mode = args.storage == "int8"
+    refine = not args.no_refine and not int8_mode
     depths = [int(x) for x in str(args.rerank_depth).split(",")]
-    idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, pq_m=M_PQ,
-                       train_iters=10, rerank=refine,
-                       refine_dtype="bfloat16",
-                       rerank_depth=depths[0])
+    if int8_mode:
+        # dense SQ8 tier: rows are read directly by the union scan (no
+        # decode stage, no rerank gather); the int8 cross term is the
+        # only loss source. build_chunked forbids the bf16 shadow here
+        # (it would not fit beside the padded rows).
+        idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, dtype="int8",
+                           train_iters=10, rerank=False,
+                           rerank_depth=depths[0], balance="spill")
+    else:
+        idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, pq_m=M_PQ,
+                           train_iters=10, rerank=refine,
+                           refine_dtype="bfloat16",
+                           rerank_depth=depths[0])
     if n > 32 * (1 << 20):
         idx.train_sample_per_list = 32  # bound Lloyd cost at 100M scale
     idx.build_chunked(source, n=n, chunk_size=chunk)
     build_s = time.perf_counter() - t0
     hbm_bytes = int(
-        idx._sorted_vecs.size * 1 + idx._sorted_sq.size * 4
+        idx._sorted_vecs.size * idx._sorted_vecs.dtype.itemsize
+        + idx._sorted_sq.size * 4
         + idx._sorted_ids.size * 4
+        + (idx._sorted_scales.size * 4 if idx._sorted_scales is not None
+           else 0)
         + (idx._sorted_shadow.size * 2 if refine else 0)
     )
     print(f"# built {n} rows in {build_s:.1f}s; resident "
@@ -174,6 +192,8 @@ def main() -> None:
             r *= 4
 
     results = {}
+    if int8_mode:
+        depths = depths[:1]  # no refine stage: depth only widens the trim
     for depth in depths:
         idx.rerank_depth = depth  # static search arg: recompiles per depth
         for nprobe in (8, 16, 32, 64):
@@ -203,10 +223,12 @@ def main() -> None:
                 "recall_at_1": r1,
                 "union_cap": ucap, "qc": qc,
                 "rerank_depth": depth if refine else None,
-                "useg": _pq_union_segments(ucap, idx._window, M_PQ, DIM, qc),
+                "useg": (None if int8_mode else _pq_union_segments(
+                    ucap, idx._window, M_PQ, DIM, qc)),
             }
             print(json.dumps({
-                "metric": "ivfpq_scale_qps", "nprobe": nprobe,
+                "metric": ("ivf_int8_scale_qps" if int8_mode
+                           else "ivfpq_scale_qps"), "nprobe": nprobe,
                 "rerank_depth": depth if refine else None,
                 "value": round(q_batch / per_batch, 1), "unit": "qps",
                 "recall_at_10": round(recall, 4),
@@ -215,7 +237,8 @@ def main() -> None:
             }))
 
     out = {
-        "n": n, "dim": DIM, "pq_m": M_PQ, "nlist": nlist,
+        "n": n, "dim": DIM, "storage": args.storage,
+        "pq_m": None if int8_mode else M_PQ, "nlist": nlist,
         "platform": platform, "build_s": round(build_s, 2),
         "build_stages_s": {k: round(v, 3)
                            for k, v in idx.build_stats.items()
@@ -225,10 +248,14 @@ def main() -> None:
         "queries": q_batch, "results": results,
         "refine": ({"dtype": "bfloat16", "rerank_depths": depths}
                    if refine else None),
-        "note": "IVF-PQ residual codes, out-of-HBM chunked build; corpus "
-                "regenerated deterministically per chunk (never stored). "
-                "Dense f32 storage of this corpus would need "
-                f"{n * DIM * 4 / 1e9:.1f} GB.",
+        "note": (("Dense SQ8 rows in the block-padded lists (no decode "
+                  "stage, no rerank gather; int8 cross term is the only "
+                  "loss source). " if int8_mode else
+                  "IVF-PQ residual codes. ")
+                 + "Out-of-HBM chunked build; corpus regenerated "
+                 "deterministically per chunk (never stored). Dense f32 "
+                 "storage of this corpus would need "
+                 f"{n * DIM * 4 / 1e9:.1f} GB."),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
