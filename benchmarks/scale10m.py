@@ -113,6 +113,10 @@ def main() -> None:
     int8_mode = args.storage == "int8"
     refine = not args.no_refine and not int8_mode
     depths = [int(x) for x in str(args.rerank_depth).split(",")]
+    # balanced (16-choice capacity-capped) chunked assignment past 16M
+    # rows: quantile padding alone needs ~13 GB of codes at 100M; the
+    # cap_factor x mean window is what makes the tier fit
+    balance = "reassign" if n > 16 * (1 << 20) else "spill"
     if int8_mode:
         # dense SQ8 tier: rows are read directly by the union scan (no
         # decode stage, no rerank gather); the int8 cross term is the
@@ -120,12 +124,14 @@ def main() -> None:
         # (it would not fit beside the padded rows).
         idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, dtype="int8",
                            train_iters=10, rerank=False,
-                           rerank_depth=depths[0], balance="spill")
+                           rerank_depth=depths[0], balance=balance)
     else:
         idx = IVFFlatIndex(DIM, nlist=nlist, nprobe=16, pq_m=M_PQ,
                            train_iters=10, rerank=refine,
                            refine_dtype="bfloat16",
-                           rerank_depth=depths[0])
+                           rerank_depth=depths[0], balance=balance)
+    if n > 16 * (1 << 20):
+        idx.cap_factor = 1.5  # window 1.5x mean: 151M slots at 100M
     if n > 32 * (1 << 20):
         idx.train_sample_per_list = 32  # bound Lloyd cost at 100M scale
     idx.build_chunked(source, n=n, chunk_size=chunk)

@@ -880,12 +880,20 @@ class IVFFlatIndex:
         the block-padded layout on device. Coarse training uses
         ``train_rows`` when given, else a per-chunk prefix sample (fine for
         unordered corpora; pass an explicit sample for ordered ones).
-        ``balance='spill'`` semantics only. Works for every storage dtype
-        whose SLOTS fit on device — PQ (M B/row; +D+8 B/row with the
-        refine shadow, ``rerank=True``), int8 (D B/row, shadow rerank
-        unsupported: it would double the footprint), bf16/f32."""
-        if self.balance != "spill":
-            raise ValueError("build_chunked supports balance='spill' only")
+
+        ``balance='spill'`` caps the window at a list-length quantile and
+        spills overflow to the exact pending tier. ``balance='reassign'``
+        runs the 16-choice capacity-capped assignment instead (same
+        machinery as the in-HBM build, host-accumulated across chunks):
+        the window shrinks from ~2.2-2.7x the mean list length to the
+        ``cap_factor`` x mean cap, which is what makes 100M-row corpora
+        fit — padding scales resident bytes by window/mean (the first
+        100M attempt at quantile padding needed ~13 GB of codes alone).
+
+        Works for every storage dtype whose SLOTS fit on device — PQ
+        (M B/row; +D+8 B/row with the refine shadow, ``rerank=True``),
+        int8 (D B/row, shadow rerank unsupported: it would double the
+        footprint), bf16/f32."""
         if self.quantized and self.rerank:
             raise ValueError(
                 "build_chunked int8 requires rerank=False (the bf16 shadow "
@@ -915,21 +923,68 @@ class IVFFlatIndex:
 
         # ---- pass A: assignment per chunk
         t0 = time.perf_counter()
-        assign_np = np.empty((n,), np.int32)
-        for i in range(n_chunks):
-            start = i * chunk_size
-            size = min(chunk_size, n - start)
-            rows = jnp.asarray(source(start, size), jnp.float32)
-            a, _ = kmeans_assign(rows, self.centroids, metric=self.metric,
-                                 bias=self._assign_bias)
-            assign_np[start : start + size] = np.asarray(a, np.int32)
-            del rows
-        lengths_np = np.bincount(assign_np, minlength=nlist).astype(np.int64)
-        max_len = max(int(lengths_np.max()), 1)
-        cap = int(_round_up(
-            max(128, int(np.quantile(lengths_np, self.window_quantile))), 128
-        ))
-        window = cap if cap < max_len else int(_round_up(max_len, 128))
+        if self.balance == "reassign":
+            # 16-choice capacity-capped assignment, host-accumulated:
+            # choices+prefs are (n, c) on HOST (12.8 GB at 100M — host RAM,
+            # not HBM); the greedy balanced placement then bounds every
+            # list at cap_factor x mean, so window (and the padded
+            # layout's resident bytes) shrink ~1.5-1.8x vs quantile
+            # capping. Exhausted rows (no choice with room) spill to the
+            # exact pending tier like the 'spill' mode.
+            from ..ops.kmeans import assign_topk
+
+            c = self.reassign_choices
+            choices_np = np.empty((n, c), np.int32)
+            prefs_np = np.empty((n, c), np.float32)
+            for i in range(n_chunks):
+                start = i * chunk_size
+                size = min(chunk_size, n - start)
+                rows = jnp.asarray(source(start, size), jnp.float32)
+                ch, cv = assign_topk(rows, self.centroids, c,
+                                     metric=self.metric,
+                                     bias=self._assign_bias)
+                choices_np[start : start + size] = np.asarray(ch, np.int32)
+                prefs_np[start : start + size] = np.asarray(cv, np.float32)
+                del rows, ch, cv
+            if self.metric == "IP":
+                prefs_np = -prefs_np  # lexsort wants ascending preference
+            cap = self._reassign_cap(n / nlist)
+            assign_np, spill_rows = balanced_assignment(
+                choices_np, prefs_np, nlist, cap
+            )
+            del choices_np, prefs_np
+            if len(spill_rows):
+                logger.info(
+                    "balanced chunked build: %d/%d rows exhausted %d "
+                    "choices (cap %d) -> exact pending tier",
+                    len(spill_rows), n, c, cap,
+                )
+            kept = assign_np >= 0
+            lengths_np = np.bincount(
+                assign_np[kept], minlength=nlist
+            ).astype(np.int64)
+            window = int(_round_up(max(int(lengths_np.max()), 1), 128))
+        else:
+            assign_np = np.empty((n,), np.int32)
+            for i in range(n_chunks):
+                start = i * chunk_size
+                size = min(chunk_size, n - start)
+                rows = jnp.asarray(source(start, size), jnp.float32)
+                a, _ = kmeans_assign(rows, self.centroids,
+                                     metric=self.metric,
+                                     bias=self._assign_bias)
+                assign_np[start : start + size] = np.asarray(a, np.int32)
+                del rows
+            lengths_np = np.bincount(
+                assign_np, minlength=nlist
+            ).astype(np.int64)
+            max_len = max(int(lengths_np.max()), 1)
+            cap = int(_round_up(
+                max(128,
+                    int(np.quantile(lengths_np, self.window_quantile))),
+                128,
+            ))
+            window = cap if cap < max_len else int(_round_up(max_len, 128))
         bstats["assign_s"] = time.perf_counter() - t0
 
         # ---- train PQ codebooks on a residual sample. The sample rows MUST
@@ -943,7 +998,9 @@ class IVFFlatIndex:
             sample = jnp.asarray(
                 source(0, min(chunk_size, n)), jnp.float32
             )[:65536]
-            a_s = jnp.asarray(assign_np[: sample.shape[0]], jnp.int32)
+            a_s = jnp.asarray(
+                np.maximum(assign_np[: sample.shape[0]], 0), jnp.int32
+            )  # exhausted (-1) rows train against list 0 — harmless noise
             self._train_pq_codec(sample - self.centroids[a_s])
 
         # ---- pass B: residual encode + DEVICE-side slot scatter (the
@@ -965,16 +1022,20 @@ class IVFFlatIndex:
             if self.quantized else None
         )
         spill_vecs, spill_ids = [], []
-        seen = np.zeros((nlist,), np.int64)  # rows already placed per list
+        # rows already placed per list; slot nlist collects the exhausted
+        # (-1) rows of balance='reassign' so the rank math stays branchless
+        seen = np.zeros((nlist + 1,), np.int64)
         for i in range(n_chunks):
             start = i * chunk_size
             size = min(chunk_size, n - start)
             rows = jnp.asarray(source(start, size), jnp.float32)
-            a = assign_np[start : start + size]
+            a_raw = assign_np[start : start + size]
+            valid = a_raw >= 0
+            a = np.where(valid, a_raw, nlist)  # -1 -> sentinel group
             scales = None
             if self.pq_m:
                 codes, rec_sq = self._pq_encode_rows(
-                    rows, jnp.asarray(a, jnp.int32)
+                    rows, jnp.asarray(np.where(valid, a_raw, 0), jnp.int32)
                 )
             elif self.quantized:
                 rec_sq = dist_ops.sqnorms(rows)  # exact, pre-quantization
@@ -994,8 +1055,8 @@ class IVFFlatIndex:
             rank = np.empty_like(rank_sorted)
             rank[order] = rank_sorted
             rank = rank + seen[a]
-            seen += np.bincount(a, minlength=nlist)
-            keep = rank < window
+            seen += np.bincount(a, minlength=nlist + 1)
+            keep = (rank < window) & valid
             # FULL-chunk donated scatter: not-kept rows all route to the
             # sentinel dump slot (their scattered id is -1, so the slot
             # stays dead whatever codes land there). One fixed shape per
