@@ -760,3 +760,46 @@ def test_ivfpq_refine_shadow_is_compact(rng):
     loaded = IVFFlatIndex.from_state_dict(idx.state_dict())
     assert loaded._sorted_shadow.shape == (loaded._n_built, d)
     assert loaded._shadow_pos is not None
+
+
+def test_build_chunked_balanced_window_compression(rng):
+    """balance='reassign' in the chunked build bounds every list at
+    cap_factor x mean (the 100M enabler: quantile padding needed ~2.7x
+    slots/rows and OOM'd the padded arrays), with overflow rows placed in
+    their next-nearest open list instead of spilling."""
+    from rag_faiss_embedding_tpu.index.ivf import IVFFlatIndex
+
+    # zipf-skewed mixture: quantile windows blow up, balanced ones don't
+    w = 1.0 / np.arange(1, 33) ** 0.8
+    w /= w.sum()
+    centers = rng.standard_normal((32, 64)).astype(np.float32)
+    n = 8192
+    rows = (centers[rng.choice(32, n, p=w)]
+            + 0.2 * rng.standard_normal((n, 64)).astype(np.float32))
+
+    built = {}
+    for bal in ("spill", "reassign"):
+        idx = IVFFlatIndex(64, nlist=32, nprobe=32, train_iters=4,
+                           pq_m=8, pq_compute="f32", balance=bal,
+                           rerank=True, rerank_depth=64,
+                           refine_dtype="bfloat16")
+        if bal == "reassign":
+            idx.cap_factor = 1.5
+        idx.build_chunked(lambda s, z: rows[s:s + z], n=n, chunk_size=2048)
+        built[bal] = idx
+        assert idx.ntotal == n  # placed + pending covers every row
+
+    # the balanced window is strictly tighter on skewed data
+    assert built["reassign"]._window < built["spill"]._window
+    # full-probe search still finds everything it should: compare to the
+    # exact oracle at nprobe=nlist (every list probed -> relocation
+    # cannot hide a row)
+    q = rows[:16] + 0.05 * rng.standard_normal((16, 64)).astype(np.float32)
+    d = ((q[:, None, :].astype(np.float64)
+          - rows[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    truth = np.argsort(d, axis=1, kind="stable")[:, :10]
+    _, pred = built["reassign"].search(q, 10, nprobe=32)
+    pred = np.asarray(pred)
+    hits = sum(len(set(p.tolist()) & set(t.tolist()))
+               for p, t in zip(pred, truth))
+    assert hits / truth.size > 0.7  # codec-bound floor, full coverage
