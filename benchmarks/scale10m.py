@@ -77,10 +77,10 @@ def main() -> None:
         # are the cheaper trade at 100M
         nlist = 16384 if n <= 16 * (1 << 20) else 32768
         chunk, q_batch, reps = 1 << 20, Q_BATCH, REPS
-        if args.storage == "int8" or not args.no_refine:
+        if args.storage == "int8" or not args.no_refine or n > 16 * (1 << 20):
             # refine builds hold the 7.7 GB bf16 shadow resident (int8
-            # builds the 8.9 GB padded rows) — halve the streamed chunk
-            # so pass-B transients stay inside the 16 GB budget
+            # the 8.9 GB padded rows; 100M the ~8 GB codes) — halve the
+            # streamed chunk so pass transients stay inside 16 GB
             chunk = 1 << 19
     n_modes = 8192
     key = jax.random.PRNGKey(0)

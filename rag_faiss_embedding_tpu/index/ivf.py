@@ -75,6 +75,13 @@ def _scatter_rows_donated(buf, dest, vals):
     return _scatter_rows_donated_fn()(buf, dest, vals)
 
 
+def _device_sync() -> None:
+    """Full dispatch round-trip: forces the backend to work through its
+    queued operations — including buffer frees, which on the axon tunnel
+    lag allocation bursts enough to OOM passes whose steady state fits."""
+    jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+
+
 def probe_scan_math(
     q,            # (Q, D) f32
     sorted_vecs,  # (Npad, D)
@@ -934,6 +941,12 @@ class IVFFlatIndex:
             from ..ops.kmeans import assign_topk
 
             c = self.reassign_choices
+            # bound the (point_chunk, nlist) score tile at ~4 GB: 65536 x
+            # 32768 x 4 B = 8.6 GB rode on top of lagged frees and OOM'd
+            # the 100M pass A through the axon tunnel
+            pt_chunk = 32768 if nlist > 16384 else 65536
+            logger.info("chunked build pass A (balanced, %d choices): "
+                        "%d chunks", c, n_chunks)
             choices_np = np.empty((n, c), np.int32)
             prefs_np = np.empty((n, c), np.float32)
             for i in range(n_chunks):
@@ -942,10 +955,15 @@ class IVFFlatIndex:
                 rows = jnp.asarray(source(start, size), jnp.float32)
                 ch, cv = assign_topk(rows, self.centroids, c,
                                      metric=self.metric,
-                                     bias=self._assign_bias)
+                                     bias=self._assign_bias,
+                                     point_chunk=pt_chunk)
                 choices_np[start : start + size] = np.asarray(ch, np.int32)
                 prefs_np[start : start + size] = np.asarray(cv, np.float32)
                 del rows, ch, cv
+                # drain the async queue (frees included): allocation
+                # bursts outpace tunnel-lagged frees and overflow an
+                # otherwise-fitting pass (the r05 10M/100M failure mode)
+                _device_sync()
             if self.metric == "IP":
                 prefs_np = -prefs_np  # lexsort wants ascending preference
             cap = self._reassign_cap(n / nlist)
@@ -1021,6 +1039,10 @@ class IVFFlatIndex:
             jax.device_put(jnp.zeros((n_slots,), jnp.float32), dev)
             if self.quantized else None
         )
+        logger.info("chunked build pass B: window %d, %d slots (%.2f GB "
+                    "codes)", window, n_slots,
+                    n_slots * code_width
+                    * jnp.dtype(self.dtype).itemsize / 1e9)
         spill_vecs, spill_ids = [], []
         # rows already placed per list; slot nlist collects the exhausted
         # (-1) rows of balance='reassign' so the rank math stays branchless
@@ -1083,6 +1105,7 @@ class IVFFlatIndex:
                 spill_ids.append(np.arange(start, start + size,
                                            dtype=np.int32)[~keep])
             del rows, codes, rec_sq
+            _device_sync()  # keep tunnel-lagged frees from accumulating
         bstats["encode_s"] = time.perf_counter() - t0
 
         # ---- pass C: refine shadow, AFTER the encode/scatter loop.
