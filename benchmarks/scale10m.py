@@ -131,7 +131,10 @@ def main() -> None:
                            refine_dtype="bfloat16",
                            rerank_depth=depths[0], balance=balance)
     if n > 16 * (1 << 20):
-        idx.cap_factor = 1.5  # window 1.5x mean: 151M slots at 100M
+        # window 1.75x mean (~186M slots / 10.4 GB codes+norms+ids at
+        # 100M): 1.5x exhausted too many rows against the thin
+        # 32-per-list-trained centroids
+        idx.cap_factor = 1.75
     if n > 32 * (1 << 20):
         idx.train_sample_per_list = 32  # bound Lloyd cost at 100M scale
     idx.build_chunked(source, n=n, chunk_size=chunk)

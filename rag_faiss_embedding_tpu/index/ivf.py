@@ -1101,12 +1101,20 @@ class IVFFlatIndex:
                 )
             if (~keep).any():
                 spos = jnp.asarray(np.nonzero(~keep)[0], jnp.int32)
-                spill_vecs.append(rows[spos])  # stays on device
+                # HOST accumulation: spilled f32 rows held on device
+                # across chunks compound with tunnel-lagged frees (a 2%
+                # exhaustion rate at 100M is 3 GB of HBM)
+                spill_vecs.append(np.asarray(rows[spos]))
                 spill_ids.append(np.arange(start, start + size,
                                            dtype=np.int32)[~keep])
             del rows, codes, rec_sq
             _device_sync()  # keep tunnel-lagged frees from accumulating
         bstats["encode_s"] = time.perf_counter() - t0
+        if spill_ids:
+            logger.info("chunked build pass B: %d rows spilled to the "
+                        "exact pending tier (%.2f GB f32)",
+                        sum(len(s) for s in spill_ids),
+                        sum(len(s) for s in spill_ids) * self.dim * 4 / 1e9)
 
         # ---- pass C: refine shadow, AFTER the encode/scatter loop.
         # COMPACT layout, corpus-row order (= the ids build_chunked
@@ -1196,7 +1204,7 @@ class IVFFlatIndex:
         n_spill = int(sum(len(s) for s in spill_ids))
         self._n_spill = n_spill
         if n_spill:
-            self._pending.add(jnp.concatenate(spill_vecs))
+            self._pending.add(jnp.asarray(np.concatenate(spill_vecs)))
             self._pending_rowids = np.concatenate(spill_ids)
             logger.info(
                 "chunked build capped window at %d (max list %d): %d rows "
