@@ -131,10 +131,12 @@ def main() -> None:
                            refine_dtype="bfloat16",
                            rerank_depth=depths[0], balance=balance)
     if n > 16 * (1 << 20):
-        # window 1.75x mean (~186M slots / 10.4 GB codes+norms+ids at
-        # 100M): 1.5x exhausted too many rows against the thin
-        # 32-per-list-trained centroids
-        idx.cap_factor = 1.75
+        # window 1.3x mean (~138M slots / 7.75 GB codes+norms+ids at
+        # 100M): exhaustion is tiny even at tight caps (measured 0.03%
+        # at 1.75x), and the long-lived tunnel process only has
+        # ~12.7 GB practically usable — two pass-B attempts hit that
+        # wall at 1.5x/1.75x despite nominal headroom
+        idx.cap_factor = 1.3
     if n > 32 * (1 << 20):
         idx.train_sample_per_list = 32  # bound Lloyd cost at 100M scale
     idx.build_chunked(source, n=n, chunk_size=chunk)
