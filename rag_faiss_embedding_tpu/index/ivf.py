@@ -1207,8 +1207,8 @@ class IVFFlatIndex:
             self._pending.add(jnp.asarray(np.concatenate(spill_vecs)))
             self._pending_rowids = np.concatenate(spill_ids)
             logger.info(
-                "chunked build capped window at %d (max list %d): %d rows "
-                "spilled to the exact tier", window, max_len, n_spill,
+                "chunked build window %d: %d rows spilled to the exact "
+                "tier", window, n_spill,
             )
         self._window = window
         self._n_built = n - n_spill
