@@ -5,7 +5,17 @@ ops/pallas_ivf.py variant=2) passes CPU interpret-mode parity but dies on
 the axon TPU backend with a Mosaic ``INVALID_ARGUMENT`` on its first
 scan-wrapped execution — and the crash poisons the whole client process
 (BENCH_r04 ivf_sweep["pallas2_np16"]). This tool isolates WHICH execution
-shape kills it, cheaply and in the documented safe order:
+shape kills it, cheaply and in the documented safe order.
+
+FIRST TPU RESULT (r05, 2026-08-21): steps 1-3 all PASS on the real chip —
+the v2 kernel body is NOT the problem: direct (un-jitted) execution works
+both without and WITH the in-kernel top-k. Steps 4-6 of that run were
+voided by a repro-tool bug (jit closures captured the index arrays ->
+remote-compile HTTP 413, now fixed below: big arrays ride as jit
+arguments). The remaining bisect — jit x1 / jit x2 / scan-wrapped — is
+the standing first action on the next TPU window; the bench crash is now
+known to live in the jit/scan execution wrapper, not in Mosaic codegen
+of the kernel itself.
 
     1. v1 direct call            (control — known good)
     2. v2 direct, k=17           (no in-kernel top-k: base kernel only)
@@ -77,25 +87,37 @@ def run_step(step: int, cpu: bool = False) -> None:
               pallas_cap=idx.pallas_cap, pallas_variant=variant,
               interpret=jax.devices()[0].platform != "tpu")
 
+    # big arrays ride as jit ARGUMENTS, never closures: closed-over
+    # device arrays bake into the HLO as constants and overflow the axon
+    # remote-compile body (HTTP 413 — exactly what the first TPU run of
+    # steps 4-6 hit, masking the real question)
+    big = tuple(a for a in args if a is not None)
+
     if mode == "direct":
         v, i = fused_ivf_search_math(q, *args, **kw)
         jax.block_until_ready((v, i))
     elif mode == "jit":
-        f = jax.jit(lambda qq: fused_ivf_search_math(qq, *args, **kw))
+        def f_(qq, cent, cent_sq, codes, sq, ids):
+            return fused_ivf_search_math(
+                qq, cent, cent_sq, codes, None, sq, ids, None, None, **kw)
+
+        f = jax.jit(f_)
         for e in range(execs):
-            v, i = f(q + float(e))
+            v, i = f(q + float(e), *big)
             jax.block_until_ready((v, i))
     else:  # scan
         from jax import lax
 
-        def many(qs):
+        def many(qs, cent, cent_sq, codes, sq, ids):
             def body(acc, one):
-                v, i = fused_ivf_search_math(one, *args, **kw)
+                v, i = fused_ivf_search_math(
+                    one, cent, cent_sq, codes, None, sq, ids, None, None,
+                    **kw)
                 return acc + v.sum() + i.sum().astype(jnp.float32), None
             acc, _ = lax.scan(body, jnp.float32(0.0), qs)
             return acc
         qs = jnp.stack([q + float(r) for r in range(execs)])
-        out = jax.jit(many)(qs)
+        out = jax.jit(many)(qs, *big)
         jax.block_until_ready(out)
     print(json.dumps({"step": step, "name": name, "ok": True}))
 
